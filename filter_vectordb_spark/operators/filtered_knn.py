@@ -1,0 +1,182 @@
+"""Filtered k-NN (SURVEY.md §2.8) — the reference's flagship operator.
+
+For each query (embedding + 1-2 conjunctive tags), return the k nearest
+base vectors among those containing ALL query tags
+(`filter/faiss/faiss.py:361-426`).
+
+The reference routes per-query between three physical plans on estimated
+selectivity (`mt_threshold`).  Both of our branches are EXACT (Spark has
+no reason to trade recall for latency in batch mode), so routing is purely
+a performance choice and results are identical to the brute-force oracle:
+
+  Q1 "metadata-first"  (selective filters): posting-intersection join
+      produces (qid, id) candidate pairs, gather embeddings, score only
+      those pairs.  Work ∝ Σ_q |candidates(q)|.
+
+  Q2' "vector-first"   (non-selective filters): score ALL base rows per
+      query (vectorized brute-force scan) with the tag predicate applied
+      inline before ranking.  Work ∝ nq × N but at BLAS speed with no
+      join shuffle.
+
+Router: a broadcast-joined per-query candidate-count estimate (exact
+per-tag doc-frequency stats, min over the query's tags — the reference
+uses the same min-frequency upper bound, `filter/faiss/faiss.py:378-385`)
+splits the query batch; each half runs its plan; results union.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.functions.distance import l2_sq
+from filter_vectordb_spark.operators.postings import conjunctive_candidates, explode_tags
+from filter_vectordb_spark.operators.topk import per_group_topk
+
+#: default selectivity threshold — fraction of N below which the
+#: metadata-first plan wins (reference default metadata_threshold=1e-3 of
+#: N=10M, grid 0.0045-0.02, `filter/faiss/config.yaml:54-63`).
+DEFAULT_MT_THRESHOLD = 0.01
+
+
+def filtered_knn_metadata_first(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Q1 plan: candidates via posting-intersection join, then score only
+    the candidate pairs (reference `filter/faiss/faiss.py:392-399`).
+
+    Expects queries(qid, qemb, qtags) and base(id, emb, tags).
+    Returns (qid, id, dist, rank).
+    """
+    cand = conjunctive_candidates(queries, base)
+    # gather candidate embeddings (F5: xb[docs]) — equi-join, no crossJoin
+    gathered = cand.join(base.select("id", "emb"), "id")
+    q = queries.select("qid", "qemb")
+    scored = gathered.join(F.broadcast(q), "qid").select(
+        "qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist")
+    )
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+
+
+def filtered_knn_scan(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Q2' plan: vectorized full scan with inline tag predicate — the exact
+    Spark counterpart of the reference's vector-first branch (which is
+    approximate BFS there; exactness is free for us in batch,
+    SURVEY.md §2.8 Q2 'Spark counterpart').
+
+    Per Arrow batch: numpy L2 block vs ALL queries, mask rows failing each
+    query's conjunction, partial top-k; global merge finishes.
+    """
+    qpdf = queries.select("qid", "qemb", "qtags").toPandas()
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    qtags = [np.asarray(t, dtype=np.int64) for t in qpdf["qtags"]]
+    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, qtags))
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bQ, bqtags = bc.value
+        qn = (bQ * bQ).sum(axis=1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            # tag membership masks, vectorized per query
+            tag_sets = pdf["tags"].map(frozenset).to_numpy()
+            xn = (X * X).sum(axis=1)
+            D = xn[:, None] - 2.0 * (X @ bQ.T) + qn[None, :]
+            np.maximum(D, 0.0, out=D)
+            out_q, out_i, out_d = [], [], []
+            for j in range(len(bqids)):
+                need = bqtags[j]
+                mask = np.fromiter(
+                    (all(t in s for t in need) for s in tag_sets),
+                    dtype=bool,
+                    count=len(tag_sets),
+                )
+                if not mask.any():
+                    continue
+                dj = D[mask, j]
+                ij = ids[mask]
+                kk = min(k, len(ij))
+                if kk < len(ij):
+                    cand = np.argpartition(dj, kk - 1)[:kk]
+                else:
+                    cand = np.arange(len(ij))
+                order = np.lexsort((ij[cand], dj[cand]))
+                sel = cand[order]
+                out_q.append(np.full(kk, bqids[j], dtype=np.int64))
+                out_i.append(ij[sel])
+                out_d.append(dj[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    scored = base.select("id", "emb", "tags").mapInPandas(
+        score, schema="qid long, id long, dist double"
+    )
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+
+
+def filtered_knn(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    mt_threshold: float = DEFAULT_MT_THRESHOLD,
+    n_base: int | None = None,
+) -> DataFrame:
+    """Selectivity-routed filtered k-NN (reference router
+    `filter/faiss/faiss.py:392-418`): queries whose estimated candidate
+    count < mt_threshold·N take the metadata-first plan, the rest take the
+    vectorized scan plan.  Both branches exact → union is exact.
+    """
+    if n_base is None:
+        n_base = base.count()
+    # per-tag doc counts (A1); estimate per query = min over its tags
+    # (upper bound on the conjunction size — reference uses min freq,
+    # `filter/faiss/faiss.py:381-385`)
+    stats = (
+        explode_tags(base)
+        .groupBy("tag")
+        .agg(F.count("*").alias("ndoc"))
+    )
+    qx = queries.withColumn("tag", F.explode("qtags"))
+    est = (
+        qx.join(F.broadcast(stats), "tag", "left")
+        .groupBy("qid")
+        .agg(F.min(F.coalesce("ndoc", F.lit(0))).alias("est"))
+    )
+    routed = queries.join(F.broadcast(est), "qid")
+    selective = routed.filter(F.col("est") < mt_threshold * n_base).drop("est")
+    dense = routed.filter(F.col("est") >= mt_threshold * n_base).drop("est")
+
+    parts = []
+    if selective.limit(1).count() > 0:
+        parts.append(filtered_knn_metadata_first(selective, base, k))
+    if dense.limit(1).count() > 0:
+        parts.append(filtered_knn_scan(dense, base, k))
+    if not parts:
+        return filtered_knn_metadata_first(queries, base, k)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,171 @@
+"""Exact k-NN join (SURVEY.md §2.3 J3) — the engine's fundamental operator.
+
+Semantics: for each query row, the k nearest rows of the base set under a
+metric, ties broken by id ascending, results ranked 1..k.  The reference
+implements this as brute-force SIMD kernels + per-query heaps
+(`filter/faiss/faiss.py:395-418`, `uint8_knn.hpp:39-82`,
+`hnsw/bruteforce.h`); the Spark-native design is:
+
+  broadcast(queries)  ×  base (partitioned, arbitrarily large)
+        │
+        ├─ strategy="expr":  crossJoin + codegen'd distance expression
+        │                    + window top-k   (pure JVM, zero Python)
+        │
+        └─ strategy="vectorized":  mapInPandas over base partitions,
+                                   float64 BLAS block — per-Arrow-batch
+                                   partial top-k (nq×k rows out per batch)
+                                   → global final top-k (W3 merge)
+
+Scale posture (100 TB): the base side is never collected or shuffled in
+full — only nq×k rows per Arrow batch leave the scan stage, then one
+shuffle of nq×k×nbatches rows for the final merge.  Queries must be the
+provably-small side (the reference's query sets are 10k-100k rows; the
+broadcast cap guards this).
+
+The vectorized path mirrors the reference's dot-trick kernel
+(`uint8_knn.hpp:9-29`: dist = ‖x‖² − 2·x·q + ‖q‖²) but in float64, so
+rankings agree with the exact expression path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.functions.distance import cosine_sim, dot, l2_sq
+from filter_vectordb_spark.operators.topk import per_group_topk
+
+#: refuse to broadcast a query side bigger than this (rows)
+MAX_BROADCAST_QUERIES = 1_000_000
+
+METRICS = ("l2", "ip", "cos")
+
+
+def _order(metric: str):
+    """l2: smaller is nearer; ip/cos: larger is nearer. Ties → id asc."""
+    if metric == "l2":
+        return [F.col("dist").asc(), F.col("id").asc()]
+    return [F.col("dist").desc(), F.col("id").asc()]
+
+
+def knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    metric: str = "l2",
+    strategy: str = "vectorized",
+    q_id: str = "qid",
+    q_vec: str = "qemb",
+    b_id: str = "id",
+    b_vec: str = "emb",
+) -> DataFrame:
+    """Returns (qid BIGINT, id BIGINT, dist DOUBLE, rank INT), rank 1..k."""
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
+    b = base.select(F.col(b_id).alias("id"), F.col(b_vec).alias("emb"))
+    if strategy == "expr":
+        scored = _score_expr(q, b, metric)
+    elif strategy == "vectorized":
+        scored = _score_vectorized(q, b, metric, k)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return per_group_topk(scored, ["qid"], _order(metric), k).select(
+        "qid", "id", "dist", "rank"
+    )
+
+
+def _score_expr(q: DataFrame, b: DataFrame, metric: str) -> DataFrame:
+    """Broadcast-nested-loop scoring with a whole-stage-codegen'd distance
+    expression. Exact; used as the in-engine oracle for approximate plans."""
+    a, c = F.col("qemb"), F.col("emb")
+    expr = {"l2": l2_sq, "ip": dot, "cos": cosine_sim}[metric](a, c)
+    return b.crossJoin(F.broadcast(q)).select("qid", "id", expr.alias("dist"))
+
+
+def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFrame:
+    """Arrow-batched numpy kernel: per-batch partial top-k, exact in float64.
+
+    Only the partial top-k (nq×k rows per batch) leaves the scan stage —
+    the W3 two-phase merge pattern (SURVEY.md §2.5).
+    """
+    qpdf = q.toPandas()  # small side by contract
+    if len(qpdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
+            "partition the query set and union the results"
+        )
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    sc = q.sparkSession.sparkContext
+    bc = sc.broadcast((qids, Q))
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bQ = bc.value
+        qn = (bQ * bQ).sum(axis=1)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            G = X @ bQ.T  # (nb, nq) BLAS block
+            if metric == "l2":
+                xn = (X * X).sum(axis=1)
+                D = xn[:, None] - 2.0 * G + qn[None, :]
+                np.maximum(D, 0.0, out=D)
+                largest = False
+            elif metric == "ip":
+                D = G
+                largest = True
+            else:  # cos
+                xn = np.sqrt((X * X).sum(axis=1))
+                D = G / (xn[:, None] * np.sqrt(qn)[None, :])
+                largest = True
+            kk = min(k, len(ids))
+            out_q, out_i, out_d = [], [], []
+            key = -D if largest else D
+            if kk < len(ids):
+                part = np.argpartition(key, kk - 1, axis=0)[:kk, :]
+            else:
+                part = np.tile(np.arange(len(ids))[:, None], (1, len(bqids)))
+            for j in range(len(bqids)):
+                cand = part[:, j]
+                # deterministic tie-break: (dist, id) lexicographic
+                order = np.lexsort((ids[cand], key[cand, j]))
+                sel = cand[order]
+                out_q.append(np.full(kk, bqids[j], dtype=np.int64))
+                out_i.append(ids[sel])
+                out_d.append(D[sel, j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    return b.mapInPandas(score_batches, schema="qid long, id long, dist double")
+
+
+def topk_as_arrays(result: DataFrame, k: int, pad: bool = True) -> DataFrame:
+    """Collapse (qid, id, rank) rows into the reference's result-matrix form
+    (qid, neighbors ARRAY<BIGINT>), ascending by rank, padded to k with -1
+    (`bindings.cpp:787-789` pads with sentinel ids)."""
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank"), F.col("id")))
+        ),
+        lambda s: s["id"],
+    )
+    out = result.groupBy("qid").agg(arr.alias("neighbors"))
+    if pad:
+        pad_arr = F.array_repeat(F.lit(-1).cast("long"), k)
+        out = out.withColumn(
+            "neighbors",
+            F.slice(F.concat(F.col("neighbors"), pad_arr), 1, k),
+        )
+    return out

@@ -1,0 +1,254 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 gets
+  - a `queries()` entry: (spark, sf_dir) -> DataFrame
+  - an `oracle_sql()` entry: equivalent ANSI SQL for DuckDB over the same
+    parquet views (omitted only for non-SQL-expressible / approximate ops,
+    which are verified by recall tests in tests/ instead).
+
+Hash-stability rules (the driver compares order-insensitive value hashes):
+  - distance-ranked outputs expose (qid, rank, id) integers, never raw
+    float distances;
+  - double aggregates go through DECIMAL(38,10) so sums are exact and
+    order-independent on both engines;
+  - float scalars are only emitted when both engines compute them from
+    bit-identical sequential folds (then rounded).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.functions.distance import sq_norm
+from filter_vectordb_spark.functions.signature import duckdb_sig_sql
+from filter_vectordb_spark.operators.filtered_knn import (
+    filtered_knn,
+    filtered_knn_metadata_first,
+    filtered_knn_scan,
+)
+from filter_vectordb_spark.operators.knn import knn_join
+from filter_vectordb_spark.operators.postings import (
+    build_postings,
+    intersect_postings,
+    tag_stats,
+)
+from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- SQL fragments
+# DuckDB-side recomputation of the derived dense vector tables
+# (see sources/vectors.py for the Spark side — identical arithmetic).
+_B = (
+    "b AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e, "
+    "[CAST(label AS INT), 10 + CAST(vec_id % 7 AS INT), 20 + CAST(vec_id % 13 AS INT)] AS tags "
+    "FROM embeddings)"
+)
+_Q = (
+    "q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe, "
+    "[CAST(label AS INT), 10 + CAST(vec_id % 7 AS INT)] AS qtags "
+    "FROM embeddings WHERE vec_id < 8)"
+)
+
+
+def _l2(a: str, b: str) -> str:
+    """Sequential-fold squared L2 in DOUBLE — bit-identical to Spark's
+    aggregate() fold."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1]-p[2])*(p[1]-p[2]))), (acc, v) -> acc + v)"
+    )
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        f"p -> p[1]*p[2])), (acc, v) -> acc + v)"
+    )
+
+
+def _sqnorm(a: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"x -> x*x)), (acc, v) -> acc + v)"
+    )
+
+
+# ---------------------------------------------------------------- k-NN (J3/W1)
+
+
+@register(
+    "knn_l2",
+    f"""
+WITH {_Q}, {_B},
+d AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist FROM q, b),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+SELECT qid, rank, id FROM r WHERE rank <= 10
+""",
+)
+def knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force k-NN, vectorized BLAS path (reference J3/K1,
+    `uint8_knn.hpp:39-82`)."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return knn_join(q, base, 10, metric="l2", strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
+    "knn_l2_expr",
+    ORACLES.get("knn_l2"),
+)
+def knn_l2_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics, pure-expression plan (whole-stage codegen, no Python)."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return knn_join(q, base, 10, metric="l2", strategy="expr").select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
+    "knn_cosine",
+    f"""
+WITH {_Q}, {_B},
+d AS (SELECT q.qid, b.id,
+      {_dot('q.qe', 'b.e')} / (sqrt({_sqnorm('b.e')}) * sqrt({_sqnorm('q.qe')})) AS sim
+      FROM q, b),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM d)
+SELECT qid, rank, id FROM r WHERE rank <= 10
+""",
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k (reference K3 — correct formula, not the broken uint8
+    normalize, SURVEY.md §2.6)."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return knn_join(q, base, 10, metric="cos", strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+
+
+# ------------------------------------------------------- filtered k-NN (Q1/Q2)
+
+_FILTERED_ORACLE = f"""
+WITH {_Q}, {_B},
+d AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist
+      FROM q, b WHERE list_has_all(b.tags, q.qtags)),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+SELECT qid, rank, id FROM r WHERE rank <= 10
+"""
+
+
+@register("filtered_knn_router", _FILTERED_ORACLE)
+def filtered_knn_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-routed filtered k-NN — the reference's flagship
+    (`filter/faiss/faiss.py:361-426`); both branches exact on Spark."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return filtered_knn(q, base, 10).select("qid", "rank", "id")
+
+
+@register("filtered_knn_meta", _FILTERED_ORACLE)
+def filtered_knn_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 metadata-first plan only (posting intersection → gather → score)."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return filtered_knn_metadata_first(q, base, 10).select("qid", "rank", "id")
+
+
+@register("filtered_knn_scan", _FILTERED_ORACLE)
+def filtered_knn_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2' vector-first plan only (inline-predicate vectorized scan)."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return filtered_knn_scan(q, base, 10).select("qid", "rank", "id")
+
+
+# --------------------------------------------------- postings / stats / sigs
+
+
+@register(
+    "tag_doc_freq",
+    f"""
+WITH {_B}
+SELECT CAST(t.tag AS INT) AS tag, COUNT(*) AS ndoc
+FROM (SELECT unnest(tags) AS tag FROM b) t
+GROUP BY 1
+""",
+)
+def tag_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-tag document frequency (`filter/faiss/faiss.py:238-239`)."""
+    base = dense_vectors(spark, sf_dir)
+    return tag_stats(base).select("tag", "ndoc")
+
+
+@register(
+    "posting_intersection",
+    f"""
+WITH {_B}
+SELECT id FROM b WHERE list_contains(tags, 3) AND list_contains(tags, 12)
+""",
+)
+def posting_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: sorted posting-list intersection (`bow_id_selector.swig:133-161`),
+    exploded back to rows for the oracle compare."""
+    base = dense_vectors(spark, sf_dir)
+    postings = build_postings(base)
+    return intersect_postings(postings, 3, 12).select(
+        F.explode("ids").alias("id")
+    )
+
+
+@register(
+    "tag_signatures",
+    f"""
+SELECT vec_id AS id,
+       {duckdb_sig_sql('[CAST(label AS BIGINT), 10 + vec_id % 7, 20 + vec_id % 13]')} AS sig
+FROM embeddings
+""",
+)
+def tag_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5/A4: 63-bit bloom tag signature column
+    (`filter/faiss/faiss.py:97-124`)."""
+    return dense_vectors(spark, sf_dir).select("id", "sig")
+
+
+@register(
+    "vector_norms",
+    """
+SELECT vec_id AS id,
+       round(list_reduce(list_prepend(0.0, list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v), 6) AS norm_sq
+FROM embeddings
+""",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-row squared norms (`uint8_knn.hpp:31-37`) — sequential f64
+    fold on both engines, so rounding is hash-stable."""
+    base = dense_vectors(spark, sf_dir)
+    return base.select("id", F.round(sq_norm(F.col("emb")), 6).alias("norm_sq"))
+
+
+# ---------------------------------------------------------------- entry points
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """The driver's smoke entry: filtered k-NN router at sf0.001."""
+    return QUERIES["filtered_knn_router"](spark, "/root/testdata/sf0.001")

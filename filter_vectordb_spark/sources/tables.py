@@ -1,0 +1,51 @@
+"""Fixture-table loaders (S1-S3 analog).
+
+The reference loads fixed-schema binary matrices through a dataset registry
+(`ood/diskann/diskann-in-mem.py:63-64`, `streaming/run.py:15-17`); here the
+fixtures are the driver's parquet tables and the "registry" is an explicit
+schema map.  Schemas are declared, never inferred, mirroring the
+reference's fixed-schema model (SURVEY.md §1.2).
+
+Parquet scans are the one true source: Catalyst pushes projections and
+predicates into them, which at 100 TB is the difference between reading a
+column slice and reading everything.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,73 @@
+"""Property tests for the k-NN join and filtered k-NN operators, mirroring
+the reference's runtime invariants (SURVEY.md §5: k results, sorted
+distances, predicate satisfied, -1 padding)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from filter_vectordb_spark.operators.filtered_knn import filtered_knn
+from filter_vectordb_spark.operators.knn import knn_join, topk_as_arrays
+from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+from tests.conftest import SF_DIR
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return dense_vectors(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return dense_queries(spark, SF_DIR).cache()
+
+
+def test_strategies_agree(spark, base, queries):
+    a = knn_join(queries, base, K, strategy="vectorized").select("qid", "rank", "id")
+    b = knn_join(queries, base, K, strategy="expr").select("qid", "rank", "id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cos"])
+def test_k_results_sorted(spark, base, queries, metric):
+    res = knn_join(queries, base, K, metric=metric).toPandas()
+    for qid, grp in res.groupby("qid"):
+        assert len(grp) == K
+        d = grp.sort_values("rank")["dist"].to_numpy()
+        if metric == "l2":
+            assert (d[:-1] <= d[1:]).all()
+        else:
+            assert (d[:-1] >= d[1:]).all()
+
+
+def test_filtered_results_satisfy_predicate(spark, base, queries):
+    res = filtered_knn(queries, base, K)
+    joined = (
+        res.join(base.select("id", "tags"), "id")
+        .join(queries.select("qid", "qtags"), "qid")
+        .withColumn("ok", F.size(F.array_intersect("tags", "qtags")) == F.size("qtags"))
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+
+
+def test_padding_rule(spark, base, queries):
+    res = knn_join(queries, base, 3)
+    arrs = topk_as_arrays(res.filter(F.col("rank") <= 2), 3).toPandas()
+    for row in arrs.itertuples():
+        assert len(row.neighbors) == 3
+        assert row.neighbors[-1] == -1  # padded (`bindings.cpp:787-789`)
+
+
+def test_broadcast_cap(spark, base, queries):
+    import filter_vectordb_spark.operators.knn as knn_mod
+
+    old = knn_mod.MAX_BROADCAST_QUERIES
+    knn_mod.MAX_BROADCAST_QUERIES = 2
+    try:
+        with pytest.raises(ValueError, match="broadcast cap"):
+            knn_join(queries, base, K, strategy="vectorized").count()
+    finally:
+        knn_mod.MAX_BROADCAST_QUERIES = old
