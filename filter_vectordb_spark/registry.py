@@ -246,6 +246,101 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("id", F.round(sq_norm(F.col("emb")), 6).alias("norm_sq"))
 
 
+# ------------------------------------------------------------ sparse MIPS (Q5/Q6)
+
+# DuckDB-side long-form term tables — identical tokenization to
+# operators/sparse.py (split on single space, drop empties, count weights).
+_DT = (
+    "dt AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS w FROM "
+    "(SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents) "
+    "WHERE term <> '' GROUP BY 1, 2)"
+)
+_QT = "qt AS (SELECT id AS qid, term, w FROM dt WHERE id < 5)"
+
+_SPARSE_TOPK_TAIL = """
+s AS (SELECT qt.qid, dt.id, CAST(SUM(qt.w * dt.w) AS BIGINT) AS score
+      FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+r AS (SELECT qid, id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM s)
+SELECT qid, rank, id, score FROM r WHERE rank <= 10
+"""
+
+
+def _sparse_inputs(spark: SparkSession, sf_dir: str):
+    from filter_vectordb_spark.operators.sparse import docs_to_terms
+    from filter_vectordb_spark.sources.tables import load_table
+
+    dterms = docs_to_terms(load_table(spark, "documents", sf_dir))
+    qterms = dterms.filter(F.col("id") < 5).withColumnRenamed("id", "qid")
+    return qterms, dterms
+
+
+@register("sparse_mips", f"WITH {_DT}, {_QT}, {_SPARSE_TOPK_TAIL}")
+def sparse_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/Q6: top-k max inner product over term-frequency sparse vectors
+    (explode-join-aggregate = the inverted-index scan,
+    `sparse/linscan/linscan.py:44-56`)."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk
+
+    qterms, dterms = _sparse_inputs(spark, sf_dir)
+    return sparse_topk(qterms, dterms, 10).select("qid", "rank", "id", "score")
+
+
+@register(
+    "sparse_mips_alpha",
+    f"""
+WITH {_DT}, {_QT},
+qa AS (SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           SUM(w) OVER (PARTITION BY qid) AS total,
+           SUM(w) OVER (PARTITION BY qid ORDER BY w DESC, term ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+    FROM qt) WHERE (running - w) < 0.8 * total),
+s AS (SELECT qa.qid, dt.id, CAST(SUM(qa.w * dt.w) AS BIGINT) AS score
+      FROM dt JOIN qa USING (term) GROUP BY 1, 2),
+r AS (SELECT qid, id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM s)
+SELECT qid, rank, id, score FROM r WHERE rank <= 10
+""",
+)
+def sparse_mips_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 α-mass query sparsification (α=0.8) then exact scoring
+    (`sparse/spmat/spmat.py:16-28`)."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk, sparsify_alpha
+
+    qterms, dterms = _sparse_inputs(spark, sf_dir)
+    return sparse_topk(sparsify_alpha(qterms, 0.8), dterms, 10).select(
+        "qid", "rank", "id", "score"
+    )
+
+
+@register(
+    "sparse_mips_budget",
+    f"""
+WITH {_DT}, {_QT},
+qb AS (SELECT qid, term, w FROM (
+    SELECT qid, term, w,
+           row_number() OVER (PARTITION BY qid ORDER BY w DESC, term ASC) AS rn
+    FROM qt) WHERE rn <= 5),
+s AS (SELECT qb.qid, dt.id, CAST(SUM(qb.w * dt.w) AS BIGINT) AS score
+      FROM dt JOIN qb USING (term) GROUP BY 1, 2),
+r AS (SELECT qid, id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM s)
+SELECT qid, rank, id, score FROM r WHERE rank <= 10
+""",
+)
+def sparse_mips_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 budget surrogate: score only the 5 heaviest query dims
+    (deterministic counterpart of linscan's time budget,
+    `sparse/linscan/linscan.py:41-42`)."""
+    from filter_vectordb_spark.operators.sparse import budget_truncate, sparse_topk
+
+    qterms, dterms = _sparse_inputs(spark, sf_dir)
+    return sparse_topk(budget_truncate(qterms, 5), dterms, 10).select(
+        "qid", "rank", "id", "score"
+    )
+
+
 # ---------------------------------------------------------------- entry points
 
 

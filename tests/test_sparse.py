@@ -1,0 +1,74 @@
+"""Sparse MIPS operator properties (oracle parity is covered by
+test_oracle_parity via the registry)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from filter_vectordb_spark.operators.sparse import (
+    budget_truncate,
+    docs_to_terms,
+    sparse_topk,
+    sparsify_alpha,
+)
+from filter_vectordb_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def dterms(spark):
+    return docs_to_terms(load_table(spark, "documents", SF_DIR)).cache()
+
+
+@pytest.fixture(scope="module")
+def qterms(spark, dterms):
+    return dterms.filter(F.col("id") < 5).withColumnRenamed("id", "qid").cache()
+
+
+def test_alpha_one_is_identity(spark, qterms):
+    full = qterms
+    kept = sparsify_alpha(qterms, 1.0)
+    assert kept.count() == full.count()
+
+
+def test_alpha_keeps_minimal_mass(spark, qterms):
+    alpha = 0.5
+    kept = sparsify_alpha(qterms, alpha)
+    tot = qterms.groupBy("qid").agg(F.sum("w").alias("total"))
+    mass = kept.groupBy("qid").agg(F.sum("w").alias("kept"))
+    joined = tot.join(mass, "qid").collect()
+    for row in joined:
+        assert row.kept >= alpha * row.total
+    # minimality: dropping the lightest kept element goes below the target
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("w").asc(), F.col("term").desc())
+    lightest = (
+        kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("qid", F.col("w").alias("wmin"))
+    )
+    for row in tot.join(mass, "qid").join(lightest, "qid").collect():
+        assert row.kept - row.wmin < alpha * row.total
+
+
+def test_budget_monotone_recall(spark, qterms, dterms):
+    """More budget ⇒ results converge to the exact top-k (the reference's
+    budget/recall tradeoff, monotone in the deterministic surrogate)."""
+    exact = sparse_topk(qterms, dterms, 10).select("qid", "id")
+    approx_small = sparse_topk(budget_truncate(qterms, 2), dterms, 10).select("qid", "id")
+    approx_big = sparse_topk(budget_truncate(qterms, 1000), dterms, 10).select("qid", "id")
+    # full budget == exact
+    assert approx_big.exceptAll(exact).count() == 0
+    assert exact.exceptAll(approx_big).count() == 0
+    # small budget still returns k rows per query
+    n_q = qterms.select("qid").distinct().count()
+    assert approx_small.count() == 10 * n_q
+
+
+def test_scores_positive_and_ranked(spark, qterms, dterms):
+    res = sparse_topk(qterms, dterms, 10).toPandas()
+    assert (res["score"] > 0).all()
+    for _, grp in res.groupby("qid"):
+        s = grp.sort_values("rank")["score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
