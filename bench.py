@@ -25,6 +25,13 @@ BENCH_QUERIES = [
     "filtered_knn_scan",
     "tag_doc_freq",
     "tag_signatures",
+    "sparse_mips",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast",
+    "events_hourly",
+    "events_sessionize",
 ]
 
 

@@ -341,6 +341,20 @@ def sparse_mips_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- relational suite
+
+from filter_vectordb_spark.queries import relational as _rel  # noqa: E402
+
+register("tpch_q1_pricing", _rel.Q1_ORACLE)(_rel.q1_pricing_summary)
+register("tpch_q3_shipping", _rel.Q3_ORACLE)(_rel.q3_shipping_priority)
+register("tpch_q5_region_revenue", _rel.Q5_ORACLE)(_rel.q5_region_revenue)
+register("tpch_q6_forecast", _rel.Q6_ORACLE)(_rel.q6_forecast_revenue)
+register("top_parts_per_brand", _rel.TOP_PARTS_ORACLE)(_rel.top_parts_per_brand)
+register("events_hourly", _rel.EVENTS_HOURLY_ORACLE)(_rel.events_hourly)
+register("events_sessionize", _rel.SESSIONIZE_ORACLE)(_rel.sessionize)
+register("orders_priority_rollup", _rel.ORDERS_ROLLUP_ORACLE)(_rel.orders_priority_rollup)
+
+
 # ---------------------------------------------------------------- entry points
 
 

@@ -29,6 +29,9 @@ def get_spark(app_name: str = "filter_vectordb_spark", cpus: int | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert at load (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
