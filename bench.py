@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "tpch_q6_forecast",
     "events_hourly",
     "events_sessionize",
+    "streaming_replay",
+    "ivf_full_probe",
+    "tag_partition_knn",
 ]
 
 

@@ -1,0 +1,94 @@
+"""IVF index build + search (SURVEY.md §2.7 B3, §2.8 Q4).
+
+The reference's unfiltered path is faiss `IVF16384,SQ8`
+(`filter/faiss/faiss.py:133,205-208`): k-means coarse quantizer, search
+ranks centroids per query and scans the top-`nprobe` inverted lists.
+
+Spark-native equivalents:
+  build  = MLlib KMeans → an assignment table (id, emb, centroid_id).
+           On a real lake this is written `partitionBy("centroid_id")` so
+           probes become partition pruning; the table IS the index.
+  search = rank centroids per query (centroid table is tiny — driver-side
+           numpy), emit (qid, centroid_id) probe pairs, broadcast-join
+           against the assignment table (prunes to nprobe/nlist of the
+           base), exact-score the survivors, two-phase top-k.
+
+nprobe = nlist probes everything ⇒ results are EXACTLY brute-force k-NN,
+independent of how k-means clustered — that's the oracle-checkable
+configuration; smaller nprobe trades recall for scan fraction
+(recall tests in tests/test_index.py, mirroring the reference's
+recall-vs-QPS methodology, SURVEY.md §5).
+
+SQ8 scalar quantization is deliberately NOT reproduced: it is a memory
+optimization for a RAM-resident index; columnar Parquet already stores
+compressed, and exact arithmetic keeps the oracle contract (SURVEY.md §4
+"Quantization").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.functions.distance import l2_sq
+from filter_vectordb_spark.operators.topk import per_group_topk
+
+
+def build_ivf(base: DataFrame, nlist: int, seed: int = 42):
+    """Returns (assignments, centroids): assignments = base + centroid_id;
+    centroids = (centroid_id, centroid ARRAY<DOUBLE>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = base.select(
+        "id", "emb", array_to_vector(F.col("emb").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(feat)
+    assignments = (
+        model.transform(feat)
+        .withColumnRenamed("prediction", "centroid_id")
+        .select("id", "emb", "centroid_id")
+    )
+    spark = base.sparkSession
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(centers, "centroid_id INT, centroid ARRAY<DOUBLE>")
+    return assignments, centroids
+
+
+def ivf_search(
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Top-k L2 search probing the `nprobe` nearest centroids per query.
+
+    Returns (qid, id, dist, rank).  Exact within the probed subset.
+    """
+    cpdf = centroids.toPandas()  # nlist rows — always tiny
+    C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+    cids = cpdf["centroid_id"].to_numpy()
+    qpdf = queries.select("qid", "qemb").toPandas()
+    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    # rank centroids per query (nq × nlist — driver-side, both sides small)
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1)[:, :nprobe]
+    pairs = [
+        (int(qid), int(cids[j]))
+        for qid, row in zip(qpdf["qid"], order)
+        for j in row
+    ]
+    spark = queries.sparkSession
+    probe = spark.createDataFrame(pairs, "qid BIGINT, centroid_id INT")
+    # partition pruning: only the probed inverted lists are scanned
+    cand = assignments.join(F.broadcast(probe), "centroid_id").select("qid", "id", "emb")
+    scored = cand.join(F.broadcast(queries.select("qid", "qemb")), "qid").select(
+        "qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist")
+    )
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")

@@ -355,6 +355,102 @@ register("events_sessionize", _rel.SESSIONIZE_ORACLE)(_rel.sessionize)
 register("orders_priority_rollup", _rel.ORDERS_ROLLUP_ORACLE)(_rel.orders_priority_rollup)
 
 
+# --------------------------------------------------------- streaming replay (ST1-ST6)
+
+
+@register(
+    "streaming_replay",
+    f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+{_Q}, {_B},
+d1 AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist
+       FROM q, b, nn WHERE b.id < (3 * nn.n) // 4),
+r1 AS (SELECT 1 AS checkpoint, qid, id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank FROM d1),
+d2 AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist
+       FROM q, b, nn WHERE NOT (b.id >= nn.n // 8 AND b.id < nn.n // 4)),
+r2 AS (SELECT 2 AS checkpoint, qid, id,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank FROM d2)
+SELECT checkpoint, qid, rank, id FROM r1 WHERE rank <= 10
+UNION ALL
+SELECT checkpoint, qid, rank, id FROM r2 WHERE rank <= 10
+""",
+)
+def streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST5 op-log replay: insert 3/4 of the vectors, search, insert the
+    rest, tombstone-delete [n/8, n/4) (triggering threshold consolidation),
+    search again.  Exact search per checkpoint ⇒ fully oracle-checkable
+    (`streaming/run.py:22-78` semantics)."""
+    from filter_vectordb_spark.streaming.runbook import Runbook, RunbookStep, replay
+
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    q = dense_queries(spark, sf_dir)
+    n = base.count()
+    rb = Runbook(
+        max_pts=n,
+        steps=[
+            RunbookStep("insert", 0, (3 * n) // 4),
+            RunbookStep("search"),
+            RunbookStep("insert", (3 * n) // 4, n),
+            RunbookStep("delete", n // 8, n // 4),
+            RunbookStep("search"),
+        ],
+    )
+    return replay(spark, base, rb, q, k=10).select("checkpoint", "qid", "rank", "id")
+
+
+# --------------------------------------------------------- index-backed search
+
+
+@register(
+    "ivf_full_probe",
+    ORACLES["knn_l2"],
+)
+def ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3+Q4: KMeans-IVF build, then search probing ALL inverted lists —
+    exactly brute-force k-NN regardless of clustering, hence the oracle is
+    the plain k-NN oracle.  Smaller nprobe is recall-tested in tests/."""
+    from filter_vectordb_spark.index.ivf import build_ivf, ivf_search
+
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    nlist = 16
+    assignments, centroids = build_ivf(base.select("id", "emb"), nlist)
+    return ivf_search(q, assignments, centroids, 10, nprobe=nlist).select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
+    "tag_partition_knn",
+    f"""
+WITH {_B},
+q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+      CAST(label AS INT) AS qtag FROM embeddings WHERE vec_id < 8),
+d AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist
+      FROM q, b WHERE list_contains(b.tags, q.qtag)),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+SELECT qid, rank, id FROM r WHERE rank <= 10
+""",
+)
+def tag_partition_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+Q3: tag-partitioned materialized view + partition-pruned search
+    for single-tag queries (exact within the tag ⇒ oracle-checkable)."""
+    import tempfile
+
+    from filter_vectordb_spark.index.tagpart import (
+        build_tag_partitions,
+        tag_partition_knn,
+    )
+
+    base = dense_vectors(spark, sf_dir)
+    emb = dense_queries(spark, sf_dir)
+    q = emb.select("qid", "qemb", F.col("qtags")[0].alias("qtag"))
+    out = tempfile.mkdtemp(prefix="fvdb_tagpart_")
+    build_tag_partitions(base, out, min_freq=0.0)
+    return tag_partition_knn(spark, out, q, 10).select("qid", "rank", "id")
+
+
 # ---------------------------------------------------------------- entry points
 
 

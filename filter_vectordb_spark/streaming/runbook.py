@@ -1,0 +1,215 @@
+"""Streaming track: op-log runbook replay (SURVEY.md §2.9 ST1-ST6).
+
+The reference's streaming track replays a YAML runbook of
+insert / delete / search steps against a dynamic ANN index under a
+capacity cap (`streaming/run.py:22-78`), with tombstone deletes and
+threshold-triggered consolidation (`streaming/diskann/diskann-str.py:60-99`).
+There is no event time, no watermark, no late data — it is an op log.
+
+Spark-native state model: a keyed state DataFrame (id, emb, deleted).
+  ST2 insert  = upsert (anti-join out colliding ids, union new rows) —
+                id collision replaces the old vector, matching HNSW's
+                in-place update (`hnswalg.h:1761-1780`);
+  ST3 delete  = tombstone flag, queries filter `NOT deleted`
+                (`hnswalg.h:1392-1432` markDelete);
+  ST4 consolidate = physical rewrite dropping tombstones when
+                active + unprocessed_deletes ≥ max_pts — the reference's
+                trigger accounting (`diskann-str.py:79-81`), not its
+                mechanism;
+  ST5 search  = the exact k-NN plan against the current snapshot;
+  ST6 range   = dist ≤ r filter (declared by the runner
+                `streaming/run.py:49-51`, unimplemented by every
+                reference engine; trivial here).
+
+On a real deployment the state table is Delta/Iceberg and insert/delete
+are MERGE INTO / UPDATE with OPTIMIZE as consolidation; this container has
+no lake-format jars, so the replayer keeps the state as a DataFrame with
+`localCheckpoint()` to truncate lineage — the operation algebra is
+identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.operators.knn import knn_join
+
+
+@dataclass
+class RunbookStep:
+    operation: str  # insert | delete | search | range
+    start: int | None = None
+    end: int | None = None
+    radius: float | None = None
+
+
+@dataclass
+class Runbook:
+    max_pts: int
+    steps: list[RunbookStep] = field(default_factory=list)
+
+
+def parse_runbook_yaml(path: str, dataset: str | None = None) -> Runbook:
+    """Parse the reference's runbook format: a map dataset → {max_pts,
+    step_index: {operation, start, end}} with integer-keyed ordered steps
+    (`streaming/simple_runbook.yaml:1-21`, `streaming/run.py:33-58`)."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    if dataset is None:
+        dataset = next(iter(doc))
+    spec = doc[dataset]
+    max_pts = int(spec["max_pts"])
+    steps = []
+    for key in sorted(k for k in spec if isinstance(k, int) or str(k).isdigit()):
+        s = spec[key]
+        steps.append(
+            RunbookStep(
+                operation=s["operation"],
+                start=s.get("start"),
+                end=s.get("end"),
+                radius=s.get("radius"),
+            )
+        )
+    return Runbook(max_pts=max_pts, steps=steps)
+
+
+class StreamingReplayer:
+    """ST1 setup: empty capacity-capped state (`streaming/base.py:9-16`)."""
+
+    def __init__(self, spark: SparkSession, max_pts: int):
+        self.spark = spark
+        self.max_pts = max_pts
+        self.state: DataFrame | None = None
+        self.unprocessed_deletes = 0
+
+    # -- ST2 ---------------------------------------------------------------
+    def insert(self, rows: DataFrame) -> None:
+        """Upsert (id, emb) rows; colliding ids are replaced."""
+        rows = rows.select("id", "emb").withColumn("deleted", F.lit(False))
+        if self.state is None:
+            self.state = rows
+        else:
+            kept = self.state.join(rows.select("id"), "id", "left_anti")
+            self.state = kept.unionByName(rows)
+        self._maybe_consolidate()
+        self.state = self.state.localCheckpoint(eager=True)
+
+    # -- ST3 ---------------------------------------------------------------
+    def delete_range(self, start: int, end: int) -> None:
+        """Tombstone ids in [start, end) (`streaming/run.py:42-44`)."""
+        if self.state is None:
+            return
+        hit = F.col("id").between(start, end - 1) & ~F.col("deleted")
+        n_new = self.state.filter(hit).count()
+        self.state = self.state.withColumn(
+            "deleted", F.col("deleted") | F.col("id").between(start, end - 1)
+        )
+        self.unprocessed_deletes += n_new
+        self._maybe_consolidate()
+        self.state = self.state.localCheckpoint(eager=True)
+
+    # -- ST4 ---------------------------------------------------------------
+    def _maybe_consolidate(self) -> None:
+        """Physical tombstone removal when active + unprocessed deletes
+        would exceed capacity (`diskann-str.py:79-81` trigger rule)."""
+        if self.state is None or self.unprocessed_deletes == 0:
+            return
+        active = self.state.filter(~F.col("deleted")).count()
+        if active + self.unprocessed_deletes >= self.max_pts:
+            self.state = self.state.filter(~F.col("deleted"))
+            self.unprocessed_deletes = 0
+
+    def consolidate(self) -> None:
+        """Explicit compaction (Delta OPTIMIZE analog)."""
+        if self.state is not None:
+            self.state = self.state.filter(~F.col("deleted")).localCheckpoint(
+                eager=True
+            )
+            self.unprocessed_deletes = 0
+
+    # -- ST5/ST6 -----------------------------------------------------------
+    def active(self) -> DataFrame:
+        if self.state is None:
+            raise RuntimeError("setup/insert before search")
+        return self.state.filter(~F.col("deleted")).select("id", "emb")
+
+    def search(self, queries: DataFrame, k: int, strategy: str = "vectorized") -> DataFrame:
+        """Exact k-NN against the current snapshot (the reference measures
+        recall of its approximate index against exactly this)."""
+        return knn_join(queries, self.active(), k, strategy=strategy)
+
+    def range_query(self, queries: DataFrame, radius: float) -> DataFrame:
+        """ST6: all ids within squared-L2 radius (`streaming/run.py:49-51`)."""
+        from filter_vectordb_spark.functions.distance import l2_sq
+
+        q = queries.select("qid", "qemb")
+        return (
+            self.active()
+            .crossJoin(F.broadcast(q))
+            .select("qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist"))
+            .filter(F.col("dist") <= radius)
+            .select("qid", "id", "dist")
+        )
+
+
+def replay(
+    spark: SparkSession,
+    source: DataFrame,
+    runbook: Runbook,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Replay a runbook, returning stacked search-checkpoint results
+    (checkpoint INT, qid, rank, id) — the reference records results at
+    every search step (`streaming/run.py:54-56`).
+
+    `source` supplies (id, emb); insert steps slice it by id range, the
+    runner's `ids = arange(start, end)` semantics (`streaming/run.py:39-41`).
+    """
+    rp = StreamingReplayer(spark, runbook.max_pts)
+    results: list[DataFrame] = []
+    checkpoint = 0
+    for step in runbook.steps:
+        if step.operation == "insert":
+            rows = source.filter(
+                F.col("id").between(step.start, step.end - 1)
+            )
+            rp.insert(rows)
+        elif step.operation == "delete":
+            rp.delete_range(step.start, step.end)
+        elif step.operation == "search":
+            checkpoint += 1
+            res = rp.search(queries, k).select(
+                F.lit(checkpoint).alias("checkpoint"), "qid", "rank", "id"
+            )
+            results.append(res)
+        elif step.operation == "range":
+            checkpoint += 1
+            res = rp.range_query(queries, step.radius).select(
+                F.lit(checkpoint).alias("checkpoint"),
+                "qid",
+                F.lit(None).cast("int").alias("rank"),
+                "id",
+            )
+            results.append(res)
+        else:
+            raise ValueError(f"unknown runbook operation {step.operation!r}")
+    if not results:
+        raise ValueError("runbook contains no search step")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def recall_at_k(results: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """A5: mean overlap/k per checkpoint vs ground truth (qid, id) pairs
+    (`streaming/run.py:54-56`, `README.md:26`)."""
+    hits = results.join(truth, ["qid", "id"]).groupBy("checkpoint", "qid").count()
+    per_q = hits.withColumn("recall", F.col("count") / F.lit(float(k)))
+    return per_q.groupBy("checkpoint").agg(F.avg("recall").alias("mean_recall"))

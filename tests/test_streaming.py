@@ -1,0 +1,124 @@
+"""Streaming replay (ST1-ST6) and Structured Streaming event tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+from filter_vectordb_spark.streaming.runbook import (
+    Runbook,
+    RunbookStep,
+    StreamingReplayer,
+    parse_runbook_yaml,
+    recall_at_k,
+    replay,
+)
+from tests.conftest import SF_DIR
+
+FIXTURE_RB = os.path.join(os.path.dirname(__file__), "fixtures", "simple_runbook.yaml")
+
+
+def test_parse_reference_yaml_format():
+    rb = parse_runbook_yaml(FIXTURE_RB)
+    assert rb.max_pts == 400
+    assert [s.operation for s in rb.steps] == [
+        "insert",
+        "search",
+        "insert",
+        "delete",
+        "search",
+    ]
+    assert rb.steps[0].end == 300
+
+
+def test_insert_is_upsert(spark):
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    rp = StreamingReplayer(spark, max_pts=10_000)
+    rp.insert(base.filter(F.col("id") < 100))
+    # re-insert overlapping range: ids must not duplicate (ST2 collision =
+    # in-place update, `hnswalg.h:1761-1780`)
+    rp.insert(base.filter(F.col("id") < 150))
+    assert rp.active().count() == 150
+    assert rp.active().select("id").distinct().count() == 150
+
+
+def test_delete_then_consolidate(spark):
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    rp = StreamingReplayer(spark, max_pts=10_000)
+    rp.insert(base.filter(F.col("id") < 200))
+    rp.delete_range(0, 50)
+    assert rp.active().count() == 150
+    assert rp.unprocessed_deletes == 50  # tombstoned, not yet compacted
+    rp.consolidate()
+    assert rp.unprocessed_deletes == 0
+    assert rp.state.count() == 150  # physically gone
+
+
+def test_consolidation_trigger_rule(spark):
+    """active + unprocessed_deletes >= max_pts triggers compaction
+    (`diskann-str.py:79-81`)."""
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    rp = StreamingReplayer(spark, max_pts=200)
+    rp.insert(base.filter(F.col("id") < 200))
+    rp.delete_range(0, 10)  # 190 active + 10 deletes = 200 >= max_pts
+    assert rp.unprocessed_deletes == 0  # auto-consolidated
+    assert rp.state.count() == 190
+
+
+def test_yaml_replay_matches_direct_state(spark):
+    """Replaying the fixture YAML gives exactly a search over the surviving
+    id set at each checkpoint."""
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    q = dense_queries(spark, SF_DIR)
+    rb = parse_runbook_yaml(FIXTURE_RB)
+    res = replay(spark, base, rb, q, k=5)
+    from filter_vectordb_spark.operators.knn import knn_join
+
+    # checkpoint 2 state: [0,500) minus [50,150)
+    survivors = base.filter(
+        (F.col("id") < 500) & ~F.col("id").between(50, 149)
+    )
+    expect = knn_join(q, survivors, 5).select("qid", "rank", "id")
+    got = res.filter(F.col("checkpoint") == 2).select("qid", "rank", "id")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+
+
+def test_range_query(spark):
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    q = dense_queries(spark, SF_DIR)
+    rp = StreamingReplayer(spark, max_pts=10_000)
+    rp.insert(base)
+    res = rp.range_query(q, radius=0.0).toPandas()
+    # radius 0 → only exact self-matches (queries are base rows 0..7)
+    assert set(res["qid"]) == set(res["id"]) == set(range(8))
+
+
+def test_recall_aggregation(spark):
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    q = dense_queries(spark, SF_DIR)
+    rp = StreamingReplayer(spark, max_pts=10_000)
+    rp.insert(base)
+    res = rp.search(q, 10).select(F.lit(1).alias("checkpoint"), "qid", "rank", "id")
+    truth = res.select("qid", "id")  # perfect ground truth
+    rec = recall_at_k(res, truth, 10).collect()
+    assert rec[0]["mean_recall"] == 1.0
+
+
+def test_structured_streaming_matches_batch(spark):
+    """The streaming hourly plan must agree with the batch twin."""
+    from filter_vectordb_spark.queries.relational import events_hourly
+    from filter_vectordb_spark.streaming.events import run_stream_to_memory
+
+    stream_res = run_stream_to_memory(spark, SF_DIR).toPandas()
+    batch = (
+        events_hourly(spark, SF_DIR)
+        .withColumn("sum_value_cents", F.round(F.col("sum_value") * 100).cast("long"))
+        .drop("sum_value")
+        .toPandas()
+    )
+    cols = ["hour_epoch", "event_type", "n_events", "sum_value_cents"]
+    s = stream_res[cols].sort_values(cols).reset_index(drop=True)
+    b = batch[cols].sort_values(cols).reset_index(drop=True)
+    assert s.equals(b)
