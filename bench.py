@@ -35,6 +35,16 @@ BENCH_QUERIES = [
     "streaming_replay",
     "ivf_full_probe",
     "tag_partition_knn",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "doc_fingerprint",
+    "token_stats",
+    "text_quality",
+    "lang_id_ngram",
+    "media_features",
 ]
 
 
@@ -54,6 +64,7 @@ def main() -> None:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
+        spark.catalog.clearCache()  # queries are independent; no carry-over
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

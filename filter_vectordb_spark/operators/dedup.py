@@ -1,0 +1,320 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup modalities over the `documents` corpus (north-star extensions,
+SURVEY.md §7 P7), all designed as shuffle-lean DataFrame plans:
+
+  exact          hash-groupBy on a normalized content key — one shuffle of
+                 (key, id), canonical = min id per group
+  n-gram Jaccard exact pairwise similarity via shingle equi-join — the
+                 ground truth the approximate methods are measured against
+  MinHash + LSH  shingle → 32 minhashes → 8 banded bucket keys →
+                 bucket-join candidates → exact verification.  Work is
+                 O(Σ bucket²) instead of O(n²): the classic 100 TB path
+  SimHash        64→32-bit weighted bit-vote fingerprint; near-dups share
+                 fingerprints within small Hamming distance
+  embedding      cosine-threshold pairs over the embedding column
+                 (brute top-k for fixtures; IVF/LSH bucketing at scale)
+
+Hash family: portable polynomial char hash (functions/text.py) with
+integer permutations h_j(x) = (a_j·x + b_j) mod p — every stage is
+deterministic and DuckDB-recomputable, so even the approximate pipelines
+have exact oracles for their verified outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.functions.text import (
+    HASH_P,
+    char_hash,
+    shingles,
+    tokens,
+)
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band
+ROWS_PER_BAND = N_HASHES // N_BANDS
+BAND_MIX = 1_315_423_911  # band-key fold multiplier
+PERM_A_MULT = 2_654_435_761
+PERM_B_MULT = 40_503
+
+
+def _perm_a(j: int) -> int:
+    return (j * PERM_A_MULT + 1) % HASH_P
+
+
+def _perm_b(j: int) -> int:
+    return (j * PERM_B_MULT + 7) % HASH_P
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized content: key = hash of the sorted distinct
+    token set (catches reorderings/exact copies).  Returns
+    (doc_id, group_key, is_canonical) — canonical = min doc_id per group."""
+    key = char_hash(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col)))))
+    )
+    keyed = docs.select(F.col(id_col).alias("doc_id"), key.alias("group_key"))
+    w = Window.partitionBy("group_key")
+    return keyed.withColumn(
+        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+
+
+def shingle_arrays(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shs ARRAY<STRING>) — distinct word n-grams per doc.  Tokens are
+    materialized in their own projection so the text is split exactly once
+    per row (see functions/text.py::shingles_of_tokens)."""
+    from filter_vectordb_spark.functions.text import shingles_of_tokens
+
+    return docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    ).select("id", shingles_of_tokens(F.col("_toks"), n).alias("shs"))
+
+
+def shingle_table(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) long form — distinct word n-grams per doc.
+
+    The repartition is load-bearing twice over: the exchange materializes
+    the shingle arrays so the Generate below it reads them instead of
+    re-evaluating the shingle expression per output row (40× on the
+    fixtures), and it spreads a single-file parquet scan across all cores
+    before the join/groupBy fan-out."""
+    return (
+        shingle_arrays(docs, n, id_col, text_col)
+        .repartition("id")
+        # explode_OUTER — see lsh_buckets: avoids the pushed-down
+        # size()>0 filter that re-evaluates the shingle expression at the
+        # scan; docs always yield shingles, so semantics are unchanged
+        .select("id", F.explode_outer("shs").alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    tau: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ tau: shingle equi-join + count ratio.
+    Returns (id_a, id_b, common, size_a, size_b) with id_a < id_b —
+    integer counts only, so threshold comparisons are engine-identical
+    (common·1.0/(sa+sb−common) of identical ints).
+    """
+    # no .cache() here: a leaked cache pins blocks in the JVM old gen and
+    # taxes every subsequent query with GC (observed 4-5× slowdowns); the
+    # exchange barrier in shingle_table keeps re-evaluation cheap
+    sh = shingle_table(docs, n, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    withsz = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "size_b"), "id_b")
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return withsz.filter(jac >= tau).select("id_a", "id_b", "common", "size_a", "size_b")
+
+
+def minhash_signatures_wide(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(id, mh ARRAY<BIGINT>[N_HASHES]): minhash signature as one row per
+    doc, built entirely map-side — hash the shingle array, then for each
+    permutation j take array_min of (a_j·h + b_j) mod p.  NO shuffle: at
+    100 TB the signature build is embarrassingly parallel and the only
+    exchange in the whole LSH pipeline is the tiny bucket-key join."""
+    arrs = shingle_arrays(docs, n)
+    # exchange barrier BETWEEN hashing and the permutations: without it
+    # projection collapse would inline the char_hash transform into the
+    # signature expression and rehash every shingle N_HASHES times (also
+    # spreads a single-file scan across cores — see shingle_table)
+    hashed = arrs.select(
+        "id",
+        F.transform(F.col("shs"), lambda s: char_hash(s)).alias("hs"),
+    ).repartition("id")
+    # ONE nested expression for the whole signature (not N_HASHES separate
+    # column expressions — those re-evaluate per reference downstream):
+    # mh[j] = min_h (a_j·h + b_j) mod p with a_j/b_j computed inline
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (
+                    ((j.cast("long") * PERM_A_MULT + 1) % HASH_P) * h
+                    + (j.cast("long") * PERM_B_MULT + 7) % HASH_P
+                )
+                % HASH_P,
+            )
+        ),
+    )
+    # second barrier: materialize the signature before the band fold
+    return hashed.select("id", mh.alias("mh")).repartition("id")
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(id, j, minhash) long form of the signature (for tests/inspection)."""
+    return minhash_signatures_wide(docs, n).select(
+        "id", F.posexplode_outer("mh").alias("j", "minhash")
+    )
+
+
+def lsh_buckets(sigs_wide: DataFrame) -> DataFrame:
+    """(id, band, band_key): fold each band's ROWS_PER_BAND minhashes into
+    one bucket key — pure array expressions over the wide signature.
+    Docs sharing (band, band_key) are candidates."""
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("mh"), b * ROWS_PER_BAND + 1, F.lit(ROWS_PER_BAND)),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * BAND_MIX + v) % HASH_P,
+        ),
+    )
+    # posexplode_OUTER: plain explode plants an implicit `size(keys) > 0`
+    # Filter that Catalyst pushes below the exchange, re-inlining the whole
+    # shingle→hash→minhash→bandkey expression into a per-row filter at the
+    # scan (≈300× slower).  The array is never empty, so OUTER is identical.
+    return sigs_wide.select("id", keys.alias("keys")).select(
+        "id", F.posexplode_outer("keys").alias("band", "band_key")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
+    Self-join per (band, band_key) — the O(Σ bucket²) step."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, tau: float, n: int = 3) -> DataFrame:
+    """Full LSH pipeline: signatures → buckets → candidates → EXACT
+    verification of ONLY the candidates (the standard bucket-then-verify
+    shape).  Verification joins each candidate pair to the two docs'
+    shingle arrays and intersects — work ∝ |candidates|, never O(n²).
+
+    Output = verified near-dup pairs; with the fixture's similarity gap the
+    miss probability of a true τ-pair is ≤ (1−τ^4)^8 ≈ 1e-12, so the exact
+    Jaccard oracle is the correct check."""
+    cands = lsh_candidate_pairs(lsh_buckets(minhash_signatures_wide(docs, n)))
+    arrs = shingle_arrays(docs, n)
+    a = arrs.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = arrs.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("common"),
+            F.size("shs_a").alias("size_a"),
+            F.size("shs_b").alias("size_b"),
+        )
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return verified.filter(jac >= tau).select(
+        "id_a", "id_b", "common", "size_a", "size_b"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): weighted bit-vote fingerprint.  Token weight =
+    term frequency; bit i of the fingerprint is 1 iff the tf-weighted vote
+    of token-hash bit i is positive.  Exploded (token × bit) plan — one
+    shuffle on (id, bit)."""
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", char_hash(F.col("token")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = tf.select("id", "w", "h", bit).withColumn(
+        "vote",
+        F.when(
+            F.call_function("shiftright", F.col("h"), F.col("bit").cast("int")).bitwiseAND(1) == 1,
+            F.col("w"),
+        ).otherwise(-F.col("w")),
+    )
+    agg = votes.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return (
+        agg.withColumn(
+            "bitval",
+            F.when(
+                F.col("v") > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit").cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+        .select(F.col("id").alias("doc_id"), "simhash")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ tau).
+
+    Block-nested self-join through the Arrow/BLAS kernel: one side is
+    broadcast as a normalized float64 matrix, the other streams through
+    mapInPandas; each batch emits only its ≥τ pairs — O(n²/batch) FLOPs at
+    BLAS speed, O(matches) shuffle.  The broadcast side caps at the same
+    limit as the k-NN join; beyond that, bucket first (IVF/LSH) and verify
+    candidates exactly, like minhash_dedup_pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+
+    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            "embedding_near_dup broadcast side too large; bucket with IVF/LSH first"
+        )
+    ids_all = pdf["id"].to_numpy(dtype=np.int64)
+    V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((V * V).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((ids_all, V, norms))
+
+    def kernel(it):
+        bids, bV, bn = bc.value
+        for batch in it:
+            if len(batch) == 0:
+                continue
+            ids = batch["id"].to_numpy(dtype=np.int64)
+            X = np.stack(batch["v"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            S = (X @ bV.T) / (xn[:, None] * bn[None, :])
+            ii, jj = np.nonzero((S >= tau) & (ids[:, None] < bids[None, :]))
+            yield pd.DataFrame({"id_a": ids[ii], "id_b": bids[jj]})
+
+    return emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(kernel, schema="id_a BIGINT, id_b BIGINT")

@@ -451,6 +451,248 @@ def tag_partition_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_partition_knn(spark, out, q, 10).select("qid", "rank", "id")
 
 
+# ------------------------------------------------- LLM-pipeline: text analysis
+
+from filter_vectordb_spark.functions.text import (  # noqa: E402
+    STOPWORDS,
+    doc_fingerprint,
+    duckdb_char_hash_sql,
+    duckdb_shingles_sql,
+    quality_flags,
+    quality_score,
+)
+
+# DuckDB tokenization fragment — identical to functions/text.py::tokens
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id, {duckdb_char_hash_sql('text')} AS fp
+FROM documents
+""",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (exact-dup key)."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "token_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) AS n_stopwords
+FROM t
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (token counting op)."""
+    from filter_vectordb_spark.functions.text import (
+        stopword_count,
+        token_count,
+        uniq_token_count,
+    )
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        uniq_token_count(t).alias("n_uniq_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+             len(toks) AS nt,
+             len(list_distinct(toks)) AS nu,
+             len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) AS sw,
+             n_chars
+      FROM t)
+SELECT doc_id,
+       (nt >= 5 AND nt <= 1000) AS len_ok,
+       (nu * 4 >= nt) AS diversity_ok,
+       (sw > 0) AS stopword_ok,
+       (n_chars >= 20 AND n_chars <= 10000) AS chars_ok,
+       CAST(
+         CAST(nt >= 5 AND nt <= 1000 AS INT) + CAST(nu * 4 >= nt AS INT)
+         + CAST(sw > 0 AS INT) + CAST(n_chars >= 20 AND n_chars <= 10000 AS INT)
+       AS INT) AS quality
+FROM f
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style integerized quality gates + 0-4 score."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    fl = quality_flags(F.col("text"), F.col("n_chars"))
+    return docs.select(
+        "doc_id",
+        fl["len_ok"].alias("len_ok"),
+        fl["diversity_ok"].alias("diversity_ok"),
+        fl["stopword_ok"].alias("stopword_ok"),
+        fl["chars_ok"].alias("chars_ok"),
+        quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+
+
+@register("lang_id_ngram")  # heuristic classifier — rows-only check
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (train profiles on the corpus's lang
+    labels, score every doc).  Deterministic; accuracy is meaningful only
+    on real multilingual data, so the driver check is rows-only."""
+    from filter_vectordb_spark.operators.text_analysis import (
+        predict_lang,
+        train_lang_profiles,
+    )
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    profiles = train_lang_profiles(docs)
+    return predict_lang(docs, profiles)
+
+
+# ------------------------------------------------------ LLM-pipeline: dedup
+
+_SHINGLE_CTE = (
+    f"t AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents), "
+    f"sh AS (SELECT id, {duckdb_shingles_sql('text')} AS shs FROM t WHERE len(t) >= 3)"
+)
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+e AS (SELECT id, unnest(shs) AS g FROM sh),
+sz AS (SELECT id, len(shs) AS nsh FROM sh),
+p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+      FROM e a JOIN e b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, common, na.nsh AS size_a, nb.nsh AS size_b
+FROM p JOIN sz na ON na.id = p.id_a JOIN sz nb ON nb.id = p.id_b
+WHERE common * 1.0 / (na.nsh + nb.nsh - common) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         {duckdb_char_hash_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")} AS group_key
+  FROM documents)
+SELECT doc_id, group_key,
+       doc_id = min(doc_id) OVER (PARTITION BY group_key) AS is_canonical
+FROM k
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (hash-groupBy, canonical=min id)."""
+    from filter_vectordb_spark.operators.dedup import exact_dedup
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_jaccard_pairs", _JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (τ=0.8) via shingle equi-join."""
+    from filter_vectordb_spark.operators.dedup import jaccard_pairs
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return jaccard_pairs(load_table(spark, "documents", sf_dir), tau=0.8)
+
+
+@register("dedup_minhash", _JACCARD_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8×4) bucket-join candidates, exact-verified —
+    output equals the exact τ=0.8 pairs (miss prob ≤ 1e-12), which IS the
+    oracle.  The LSH candidate step is what scales to 100 TB."""
+    from filter_vectordb_spark.operators.dedup import minhash_dedup_pairs
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), tau=0.8)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH tf AS (
+  SELECT id, token, count(*) AS w, {duckdb_char_hash_sql('token')} AS h
+  FROM (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN w ELSE -w END) AS v
+  FROM tf, generate_series(0, 31) g(bit)
+  GROUP BY 1, 2
+)
+SELECT id AS doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (tf-weighted 32-bit bit votes)."""
+    from filter_vectordb_spark.operators.dedup import simhash
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_dot('a.v', 'b.v')} / (sqrt({_sqnorm('a.v')}) * sqrt({_sqnorm('b.v')})) >= 0.45
+""",
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (τ=0.45 sits in a wide similarity
+    gap of the fixture, so the float threshold is engine-stable)."""
+    from filter_vectordb_spark.operators.dedup import embedding_near_dup
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return embedding_near_dup(load_table(spark, "embeddings", sf_dir), tau=0.45)
+
+
+# -------------------------------------------------- LLM-pipeline: multimodal
+
+
+@register("media_features")  # binary plumbing — rows-only check
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary feature extraction (stubbed decode, real byte
+    histogram) through mapInPandas — not SQL-expressible, rows-only."""
+    from filter_vectordb_spark.operators.multimodal import extract_features, media_table
+    from filter_vectordb_spark.sources.tables import load_table
+
+    media = media_table(load_table(spark, "documents", sf_dir))
+    return extract_features(media, fake_decode=True)
+
+
+@register("media_frame_sample")  # rows-only
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-chunk frame sampling over binary payloads (stub keyframes)."""
+    from filter_vectordb_spark.operators.multimodal import media_table, sample_frames
+    from filter_vectordb_spark.sources.tables import load_table
+
+    media = media_table(load_table(spark, "documents", sf_dir))
+    return sample_frames(media, n_frames=4)
+
+
 # ---------------------------------------------------------------- entry points
 
 

@@ -1,0 +1,133 @@
+"""Dedup pipeline internals: LSH candidate quality, simhash locality,
+exact-dedup semantics on constructed duplicates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from filter_vectordb_spark.operators.dedup import (
+    minhash_signatures_wide,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from filter_vectordb_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_DIR).cache()
+
+
+def test_exact_dedup_flags_constructed_duplicates(spark):
+    rows = [
+        (1, "the fast cat"),
+        (2, "the fast cat"),  # exact copy
+        (3, "cat the fast"),  # reordering (same token set)
+        (4, "a slow dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    res = {r["doc_id"]: (r["group_key"], r["is_canonical"]) for r in exact_dedup(df).collect()}
+    assert res[1][0] == res[2][0] == res[3][0]  # one group
+    assert res[1][1] and not res[2][1] and not res[3][1]  # min id canonical
+    assert res[4][1]
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, docs):
+    """No false negatives at the fixture's similarity level: every exact
+    τ=0.8 pair must surface as an LSH candidate."""
+    exact = {
+        (r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, tau=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(lsh_buckets(minhash_signatures_wide(docs))).collect()
+    }
+    assert exact <= cands
+
+
+def test_lsh_prunes_the_pair_space(spark, docs):
+    n = docs.count()
+    n_cands = lsh_candidate_pairs(lsh_buckets(minhash_signatures_wide(docs))).count()
+    assert n_cands < n * (n - 1) // 2 * 0.05  # scans <5% of all pairs
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = minhash_signatures(docs)
+    n = docs.count()
+    assert sigs.count() == n * 32
+    assert sigs.groupBy("id").count().filter(F.col("count") != 32).count() == 0
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, docs):
+    """Near-dup docs (jaccard ≥ 0.8) must be within small Hamming distance;
+    random pairs must not be, on average."""
+    import numpy as np
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    near = [(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, tau=0.8).collect()]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near_d = [ham(sh[a], sh[b]) for a, b in near]
+    ids = sorted(sh)
+    rng = np.random.RandomState(0)
+    rand_d = [
+        ham(sh[ids[i]], sh[ids[j]])
+        for i, j in zip(rng.randint(0, len(ids), 200), rng.randint(0, len(ids), 200))
+        if ids[i] != ids[j]
+    ]
+    assert max(near_d) <= 6
+    assert np.mean(rand_d) > np.mean(near_d) + 4
+
+
+def test_multimodal_plumbing(spark, docs):
+    from filter_vectordb_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        media_table,
+        resize_images,
+        sample_frames,
+    )
+
+    media = media_table(docs)
+    assert media.schema["media"].dataType.typeName() == "binary"
+    feats = extract_features(media).toPandas()
+    assert len(feats) == docs.count()
+    assert all(len(f) == 16 for f in feats["features"])
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in feats["features"])
+    # deterministic: rerun → identical
+    feats2 = extract_features(media).toPandas()
+    a = feats.sort_values("id").reset_index(drop=True)
+    b = feats2.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+    # real decode path is stubbed
+    with pytest.raises(NotImplementedError, match="decode"):
+        decode_media(b"xx", "image", fake_decode=False)
+    # resize + frame sample shapes
+    rs = resize_images(media, 8, 8).toPandas()
+    assert (rs["n_bytes"] == 8 * 8 * 3).all()
+    fr = sample_frames(media, n_frames=4).toPandas()
+    assert set(fr["frame"]) <= {0, 1, 2, 3}
+    assert (fr.groupby("id")["frame"].count() == 4).all()
+
+
+def test_lang_id_deterministic_and_total(spark, docs):
+    from filter_vectordb_spark.operators.text_analysis import (
+        predict_lang,
+        train_lang_profiles,
+    )
+
+    profiles = train_lang_profiles(docs)
+    assert profiles.groupBy("lang").count().filter(F.col("count") > 200).count() == 0
+    p1 = predict_lang(docs, profiles).toPandas().sort_values("doc_id").reset_index(drop=True)
+    p2 = predict_lang(docs, profiles).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert p1.equals(p2)
+    assert len(p1) == docs.count()  # every doc classified
