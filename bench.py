@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id_ngram",
     "media_features",
+    "uint8_knn",
+    "binfmt_roundtrip",
+    "lsh_cosine_knn",
 ]
 
 

@@ -32,6 +32,20 @@ def l2_sq(a: Column, b: Column) -> Column:
     )
 
 
+def l2_sq_int(a: Column, b: Column) -> Column:
+    """Integer squared L2 with int64 accumulators (reference K2,
+    `space_l2.h:376-413`: integer distances for uint8/int8 vectors).
+    Exact — no floating point anywhere, so oracle hashes match by
+    construction (SURVEY.md §7 'uint8 arithmetic')."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Inner product Σ x·y (reference: `space_ip.h:6-19`)."""
     return F.aggregate(

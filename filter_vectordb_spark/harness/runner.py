@@ -1,0 +1,99 @@
+"""Config-driven benchmark runner (SURVEY.md §2.10, A6, S6).
+
+Mirrors the reference's run loop: a YAML definition names the engine,
+build args, and up to N query-arg dicts per run group
+(`filter/faiss/config.yaml:1-64`, `README.md:220-228`); each run is timed
+best-of-`run_count` (`filter/run.py:36-38`), recall@k is computed against
+the exact brute-force plan (the reference's own ground-truth methodology),
+and results land as Parquet + a JSON attrs sidecar (S6 — the reference
+stores HDF5 + attrs, `filter/run.py:40-52`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.harness.engines import ENGINES
+from filter_vectordb_spark.operators.knn import knn_join
+from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+
+def load_config(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _recall_at_k(results: DataFrame, truth: DataFrame, k: int) -> float:
+    hits = results.join(truth, ["qid", "id"]).count()
+    nq = truth.select("qid").distinct().count()
+    return hits / (nq * k) if nq else 0.0
+
+
+def run_benchmark(
+    spark: SparkSession,
+    config: dict,
+    sf_dir: str,
+    out_dir: str | None = None,
+    k: int = 10,
+) -> list[dict]:
+    """Execute every run group in `config`; returns one record per
+    (engine, query-args) point: best wall time, recall@k, attrs."""
+    queries = dense_queries(spark, sf_dir)
+    exact = knn_join(queries, dense_vectors(spark, sf_dir), k).select("qid", "id")
+    exact = exact.cache()
+    exact.count()
+
+    records = []
+    try:
+        for group in config.get("run_groups", []):
+            cls = ENGINES[group["engine"]]
+            engine = cls(
+                metric=group.get("metric", "l2"),
+                index_params=group.get("index_params", {}),
+            )
+            if not engine.load_index(spark, sf_dir):
+                t0 = time.perf_counter()
+                engine.fit(spark, sf_dir)
+                build_s = time.perf_counter() - t0
+            else:
+                build_s = 0.0
+            run_count = int(group.get("run_count", 2))
+            for qargs in group.get("query_args", [{}]):
+                engine.set_query_arguments(**qargs)
+                best = float("inf")
+                res = None
+                for _ in range(run_count):
+                    t0 = time.perf_counter()
+                    res = engine.query(queries, k)
+                    res.count()
+                    best = min(best, time.perf_counter() - t0)
+                rec = {
+                    "engine": engine.name,
+                    "build_s": round(build_s, 4),
+                    "best_query_s": round(best, 4),
+                    "recall_at_k": round(
+                        _recall_at_k(res.select("qid", "id"), exact, k), 4
+                    ),
+                    "k": k,
+                    "attrs": engine.get_additional(),
+                }
+                records.append(rec)
+                if out_dir:
+                    tag = f"{engine.name}_" + "_".join(
+                        f"{a}-{v}" for a, v in sorted(qargs.items())
+                    ).strip("_")
+                    dest = os.path.join(out_dir, tag or engine.name)
+                    res.select("qid", "rank", "id").write.mode("overwrite").parquet(
+                        dest
+                    )
+                    with open(dest + ".attrs.json", "w") as f:
+                        json.dump(rec, f, indent=2)
+    finally:
+        exact.unpersist()
+    return records

@@ -693,6 +693,105 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4)
 
 
+# --------------------------------------------- uint8 domain + binary source
+
+from filter_vectordb_spark.sources.vectors import DUCKDB_QUANTIZE  # noqa: E402
+
+_QX = DUCKDB_QUANTIZE.format(x="x")
+_UB = (
+    f"ub AS (SELECT vec_id AS id, list_transform(embedding, x -> {_QX}) AS e "
+    "FROM embeddings)"
+)
+_UQ = (
+    f"uq AS (SELECT vec_id AS qid, list_transform(embedding, x -> {_QX}) AS qe "
+    "FROM embeddings WHERE vec_id < 8)"
+)
+_L2I = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS BIGINT) - p[2]) * (CAST(p[1] AS BIGINT) - p[2]))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "uint8_knn",
+    f"""
+WITH {_UQ}, {_UB},
+d AS (SELECT uq.qid, ub.id, {_L2I.format(a='uq.qe', b='ub.e')} AS dist FROM uq, ub),
+r AS (SELECT qid, id, dist,
+      row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+SELECT qid, rank, id, dist FROM r WHERE rank <= 10
+""",
+)
+def uint8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: exact k-NN in the integer (uint8) distance domain with int64
+    accumulators — distances themselves are hash-exact, so they are part
+    of the oracle contract (the float paths only expose ranks)."""
+    from filter_vectordb_spark.functions.distance import l2_sq_int
+    from filter_vectordb_spark.operators.topk import per_group_topk
+    from filter_vectordb_spark.sources.vectors import dense_vectors_uint8
+
+    base = dense_vectors_uint8(spark, sf_dir)
+    q = base.filter(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "qid", "id", l2_sq_int(F.col("qemb"), F.col("emb")).alias("dist")
+    )
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], 10
+    ).select("qid", "rank", "id", "dist")
+
+
+@register(
+    "binfmt_roundtrip",
+    f"""
+WITH {_UB}
+SELECT id, list_reduce(list_prepend(0::BIGINT, list_transform(e, v -> CAST(v AS BIGINT))),
+       (a, b) -> a + b) AS emb_sum
+FROM ub
+""",
+)
+def binfmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: write the uint8 base table to the reference's .u8bin format
+    (uint32 n/d header + row-major bytes), chunk-read it back through the
+    distributed binary source, and checksum each row — proving byte-level
+    format parity end to end."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from filter_vectordb_spark.sources.binfmt import read_dense_bin, write_dense_bin
+    from filter_vectordb_spark.sources.vectors import dense_vectors_uint8
+
+    base = dense_vectors_uint8(spark, sf_dir).orderBy("id").toPandas()
+    mat = np.stack(base["emb"].to_numpy()).astype(np.uint8)
+    path = os.path.join(tempfile.mkdtemp(prefix="fvdb_bin_"), "base.u8bin")
+    write_dense_bin(path, mat)
+    df = read_dense_bin(spark, path, "u8bin", rows_per_chunk=100)
+    return df.select(
+        "id",
+        F.aggregate(
+            F.col("emb"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long"),
+        ).alias("emb_sum"),
+    )
+
+
+@register("lsh_cosine_knn")  # approximate — recall-tested in tests/, rows-only here
+def lsh_cosine_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine ANN (bucket-join then exact rescore);
+    recall vs the exact cosine plan is pinned in tests/test_index.py."""
+    from filter_vectordb_spark.index.lsh import lsh_cosine_knn
+
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    q = dense_queries(spark, sf_dir)
+    dim = len(q.select("qemb").first()[0])
+    return lsh_cosine_knn(q, base, 10, dim).select("qid", "rank", "id")
+
+
 # ---------------------------------------------------------------- entry points
 
 

@@ -56,6 +56,32 @@ def dense_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("sig", sig_from_tags(F.col("tags")))
 
 
+def quantize_uint8(x):
+    """Deterministic float→uint8 quantizer: clamp(floor(x·64)+128, 0, 255).
+
+    Mirrors the reference's uint8 storage domain (`bindings.cpp:145`);
+    pure integer output so K2 distances are exact.  The DuckDB oracle
+    recomputes it with the identical formula.
+    """
+    q = F.floor(x.cast("double") * 64) + 128
+    return F.least(F.greatest(q, F.lit(0)), F.lit(255)).cast("int")
+
+
+DUCKDB_QUANTIZE = (
+    "CAST(least(greatest(floor(CAST({x} AS DOUBLE) * 64) + 128, 0), 255) AS INT)"
+)
+
+
+def dense_vectors_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, emb ARRAY<INT> in 0..255) — the uint8 base table (filter-track
+    storage dtype)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), quantize_uint8).alias("emb"),
+    )
+
+
 def dense_queries(spark: SparkSession, sf_dir: str, nq: int = DEFAULT_NQ) -> DataFrame:
     """Query table: (qid BIGINT, qemb ARRAY<FLOAT>, qtags ARRAY<INT>).
 

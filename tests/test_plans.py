@@ -1,0 +1,98 @@
+"""Plan-shape regression tests: pushdown, broadcast, codegen, pruning.
+
+These pin the properties that make the engine viable at 100 TB — value
+correctness is covered by the oracle suite; this file fails when a plan
+silently degrades (lost pushdown, join strategy flip, pruning loss)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from filter_vectordb_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partition_pruned,
+    assert_pushed_filters,
+    assert_whole_stage_codegen,
+    physical_plan,
+)
+from filter_vectordb_spark.queries import relational as rel
+from tests.conftest import SF_DIR
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """TPC-H Q6 is the pushdown showcase: shipdate + quantity predicates
+    must appear in the parquet scan's PushedFilters."""
+    df = rel.q6_forecast_revenue(spark, SF_DIR)
+    assert_pushed_filters(df, "l_shipdate", "l_quantity")
+    assert_whole_stage_codegen(df)
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = physical_plan(rel.q6_forecast_revenue(spark, SF_DIR))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in scan and "l_orderkey" not in scan, scan
+
+
+def test_q3_broadcasts_the_dims(spark):
+    df = rel.q3_shipping_priority(spark, SF_DIR)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_q5_snowflake_is_all_broadcast(spark):
+    df = rel.q5_region_revenue(spark, SF_DIR)
+    assert_broadcast_join(df, at_least=4)
+    assert_no_cartesian(df)
+
+
+def test_filtered_knn_meta_has_no_cartesian(spark):
+    from filter_vectordb_spark.operators.filtered_knn import (
+        filtered_knn_metadata_first,
+    )
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    df = filtered_knn_metadata_first(
+        dense_queries(spark, SF_DIR), dense_vectors(spark, SF_DIR), 10
+    )
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, at_least=2)  # query tags + query embeddings
+
+
+def test_sparse_mips_broadcasts_queries(spark):
+    from filter_vectordb_spark.operators.sparse import docs_to_terms, sparse_topk
+    from filter_vectordb_spark.sources.tables import load_table
+
+    dterms = docs_to_terms(load_table(spark, "documents", SF_DIR))
+    qterms = dterms.filter(F.col("id") < 5).withColumnRenamed("id", "qid")
+    df = sparse_topk(qterms, dterms, 10)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(df)
+
+
+def test_tag_partition_scan_is_pruned(spark, tmp_path):
+    """Single-tag search over the partitioned view must prune partitions
+    (static or dynamic) rather than scan all tags."""
+    from filter_vectordb_spark.index.tagpart import (
+        build_tag_partitions,
+        tag_partition_knn,
+    )
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    out = str(tmp_path / "tp")
+    build_tag_partitions(dense_vectors(spark, SF_DIR), out, min_freq=0.0)
+    q = dense_queries(spark, SF_DIR).select(
+        "qid", "qemb", F.col("qtags")[0].alias("qtag")
+    )
+    df = tag_partition_knn(spark, out, q, 5)
+    assert_partition_pruned(df)
+
+
+def test_lineitem_projection_prunes_columns(spark):
+    from filter_vectordb_spark.sources.tables import load_table
+
+    df = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in scan, scan
