@@ -44,7 +44,10 @@ def build_ivf(base: DataFrame, nlist: int, seed: int = 42):
     feat = base.select(
         "id", "emb", array_to_vector(F.col("emb").cast("array<double>")).alias("features")
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(feat)
+    # maxIter=8: coarse-quantizer centroids don't need convergence — probe
+    # quality saturates quickly and full-probe correctness never depends
+    # on the clustering (the reference's IVF trains similarly coarse)
+    model = KMeans(k=nlist, seed=seed, maxIter=8, featuresCol="features").fit(feat)
     assignments = (
         model.transform(feat)
         .withColumnRenamed("prediction", "centroid_id")

@@ -130,12 +130,31 @@ def jaccard_pairs(
     return withsz.filter(jac >= tau).select("id_a", "id_b", "common", "size_a", "size_b")
 
 
-def minhash_signatures_wide(docs: DataFrame, n: int = 3) -> DataFrame:
+def char_hash_py(s: str) -> int:
+    """Python twin of functions/text.py::char_hash (same fold, same
+    constants) — used by the vectorized signature kernel."""
+    h = 0
+    for ch in s:
+        h = (h * 131 + ord(ch)) % HASH_P
+    return h
+
+
+def minhash_signatures_wide(
+    docs: DataFrame, n: int = 3, strategy: str = "vectorized"
+) -> DataFrame:
     """(id, mh ARRAY<BIGINT>[N_HASHES]): minhash signature as one row per
-    doc, built entirely map-side — hash the shingle array, then for each
-    permutation j take array_min of (a_j·h + b_j) mod p.  NO shuffle: at
-    100 TB the signature build is embarrassingly parallel and the only
-    exchange in the whole LSH pipeline is the tiny bucket-key join."""
+    doc, built entirely map-side — NO shuffle: at 100 TB the signature
+    build is embarrassingly parallel and the only exchange in the whole
+    LSH pipeline is the tiny bucket-key join.
+
+    strategy="vectorized" (default): Arrow-batched numpy kernel — hash
+    each shingle once, then one (n_shingles × N_HASHES) modular broadcast
+    + column-min.  Predictable throughput (the JVM expression variant
+    pays multi-second JIT warmup per cold plan).
+    strategy="expr": pure JVM nested-lambda expression, zero Python.
+    Both produce identical signatures (pinned by a test)."""
+    if strategy == "vectorized":
+        return _minhash_wide_vectorized(docs, n)
     arrs = shingle_arrays(docs, n)
     # exchange barrier BETWEEN hashing and the permutations: without it
     # projection collapse would inline the char_hash transform into the
@@ -163,6 +182,34 @@ def minhash_signatures_wide(docs: DataFrame, n: int = 3) -> DataFrame:
     )
     # second barrier: materialize the signature before the band fold
     return hashed.select("id", mh.alias("mh")).repartition("id")
+
+
+def _minhash_wide_vectorized(docs: DataFrame, n: int = 3) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([_perm_a(j) for j in range(N_HASHES)], dtype=np.int64)
+    B = np.array([_perm_b(j) for j in range(N_HASHES)], dtype=np.int64)
+
+    def kernel(it):
+        for pdf in it:
+            mhs = []
+            for shs in pdf["shs"]:
+                hs = np.fromiter(
+                    (char_hash_py(s) for s in shs), dtype=np.int64, count=len(shs)
+                )
+                # a_j·h < 2^62 — safe in int64
+                mh = ((hs[:, None] * A[None, :] + B[None, :]) % HASH_P).min(axis=0)
+                mhs.append(mh.tolist())
+            yield pd.DataFrame({"id": pdf["id"], "mh": mhs})
+
+    # mapInPandas is itself a materialization barrier; repartition spreads
+    # a single-file scan before the kernel
+    return (
+        shingle_arrays(docs, n)
+        .repartition("id")
+        .mapInPandas(kernel, schema="id BIGINT, mh ARRAY<BIGINT>")
+    )
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:

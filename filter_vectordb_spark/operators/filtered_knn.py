@@ -149,31 +149,44 @@ def filtered_knn(
     count < mt_threshold·N take the metadata-first plan, the rest take the
     vectorized scan plan.  Both branches exact → union is exact.
     """
-    if n_base is None:
-        n_base = base.count()
-    # per-tag doc counts (A1); estimate per query = min over its tags
+    # Per-tag doc counts (A1); estimate per query = min over its tags
     # (upper bound on the conjunction size — reference uses min freq,
-    # `filter/faiss/faiss.py:381-385`)
+    # `filter/faiss/faiss.py:381-385`).  One aggregation job computes
+    # n_base AND the per-query estimates; the split itself happens on the
+    # collected estimate rows — queries are the provably-small side (same
+    # contract as the broadcast in knn_join), so this costs one job, not
+    # three (a count + two limit-probes would each rerun the stats plan).
     stats = (
         explode_tags(base)
         .groupBy("tag")
         .agg(F.count("*").alias("ndoc"))
     )
-    qx = queries.withColumn("tag", F.explode("qtags"))
-    est = (
+    qx = queries.select("qid", F.explode("qtags").alias("tag"))
+    est_rows = (
         qx.join(F.broadcast(stats), "tag", "left")
         .groupBy("qid")
         .agg(F.min(F.coalesce("ndoc", F.lit(0))).alias("est"))
+        .crossJoin(
+            base.agg(F.count("*").alias("n_base"))
+            if n_base is None
+            else queries.sparkSession.range(1).select(F.lit(n_base).alias("n_base"))
+        )
+        .collect()
     )
-    routed = queries.join(F.broadcast(est), "qid")
-    selective = routed.filter(F.col("est") < mt_threshold * n_base).drop("est")
-    dense = routed.filter(F.col("est") >= mt_threshold * n_base).drop("est")
+    selective_ids = [r["qid"] for r in est_rows if r["est"] < mt_threshold * r["n_base"]]
+    dense_ids = [r["qid"] for r in est_rows if r["est"] >= mt_threshold * r["n_base"]]
 
     parts = []
-    if selective.limit(1).count() > 0:
-        parts.append(filtered_knn_metadata_first(selective, base, k))
-    if dense.limit(1).count() > 0:
-        parts.append(filtered_knn_scan(dense, base, k))
+    if selective_ids:
+        parts.append(
+            filtered_knn_metadata_first(
+                queries.filter(F.col("qid").isin(selective_ids)), base, k
+            )
+        )
+    if dense_ids:
+        parts.append(
+            filtered_knn_scan(queries.filter(F.col("qid").isin(dense_ids)), base, k)
+        )
     if not parts:
         return filtered_knn_metadata_first(queries, base, k)
     out = parts[0]

@@ -550,6 +550,33 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "token_stats_bpe",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_pieces,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS n_uniq_pieces
+FROM documents
+""",
+)
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digit runs / punctuation as
+    separate pieces) — the subword-style counterpart of whitespace
+    token_stats; identical regex semantics on both engines."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_uniq_pieces"),
+    )
+
+
 @register("lang_id_ngram")  # heuristic classifier — rows-only check
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID (train profiles on the corpus's lang

@@ -58,6 +58,25 @@ def test_lsh_prunes_the_pair_space(spark, docs):
     assert n_cands < n * (n - 1) // 2 * 0.05  # scans <5% of all pairs
 
 
+def test_minhash_strategies_identical(spark, docs):
+    """The numpy kernel and the JVM expression build byte-identical
+    signatures (same hash fold, same permutations)."""
+    a = (
+        minhash_signatures_wide(docs, strategy="vectorized")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        minhash_signatures_wide(docs, strategy="expr")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert a["id"].equals(b["id"])
+    assert all(list(x) == list(y) for x, y in zip(a["mh"], b["mh"]))
+
+
 def test_minhash_signature_shape(spark, docs):
     sigs = minhash_signatures(docs)
     n = docs.count()
