@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "uint8_knn",
     "binfmt_roundtrip",
     "lsh_cosine_knn",
+    "range_search_uint8",
+    "tag_pair_doc_freq",
+    "token_stats_bpe",
+    "dedup_filtered_corpus",
 ]
 
 

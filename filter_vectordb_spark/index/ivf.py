@@ -61,6 +61,25 @@ def build_ivf(base: DataFrame, nlist: int, seed: int = 42):
     return assignments, centroids
 
 
+def save_ivf(assignments: DataFrame, centroids: DataFrame, out_dir: str) -> None:
+    """S5 index save: persist the IVF as lake tables — assignments
+    partitioned by centroid_id (so probes become partition pruning,
+    `filter/faiss/faiss.py:205` read_index analog) + a tiny centroid table."""
+    assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{out_dir}/assignments"
+    )
+    centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+
+def load_ivf(spark, out_dir: str):
+    """S5 index load: read back (assignments, centroids); 'load' is just a
+    scan + the partition layout doing the indexing."""
+    return (
+        spark.read.parquet(f"{out_dir}/assignments"),
+        spark.read.parquet(f"{out_dir}/centroids"),
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     assignments: DataFrame,

@@ -26,9 +26,16 @@ def _trigram_table(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFr
         F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
         lambda i: F.substr(s, i, F.lit(3)),
     )
-    return docs.select(
-        *id_cols, F.explode(F.array_distinct(grams)).alias("trigram")
-    ).filter(F.length("trigram") == 3)
+    # materialize the gram array at an exchange, then explode_outer — a
+    # plain explode's implicit size()>0 filter would push below the
+    # exchange and re-evaluate the whole trigram expression per scan row
+    # (see operators/dedup.py::shingle_table)
+    return (
+        docs.select(*id_cols, F.array_distinct(grams).alias("_grams"))
+        .repartition(*id_cols)
+        .select(*id_cols, F.explode_outer("_grams").alias("trigram"))
+        .filter(F.length("trigram") == 3)
+    )
 
 
 def train_lang_profiles(docs: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:

@@ -819,6 +819,85 @@ def lsh_cosine_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_knn(q, base, 10, dim).select("qid", "rank", "id")
 
 
+@register(
+    "range_search_uint8",
+    f"""
+WITH {_UQ}, {_UB}
+SELECT uq.qid, ub.id, {_L2I.format(a='uq.qe', b='ub.e')} AS dist
+FROM uq, ub
+WHERE {_L2I.format(a='uq.qe', b='ub.e')} <= 200000
+""",
+)
+def range_search_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 range query in the exact integer domain: all (query, id) pairs
+    within integer squared-L2 radius — declared by the reference's runner
+    (`streaming/run.py:49-51`) but unimplemented by every engine there;
+    trivial as a Spark predicate, and hash-exact because distances are
+    integers."""
+    from filter_vectordb_spark.functions.distance import l2_sq_int
+    from filter_vectordb_spark.sources.vectors import dense_vectors_uint8
+
+    base = dense_vectors_uint8(spark, sf_dir)
+    q = base.filter(F.col("id") < 8).select(
+        F.col("id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    return (
+        base.crossJoin(F.broadcast(q))
+        .select("qid", "id", l2_sq_int(F.col("qemb"), F.col("emb")).alias("dist"))
+        .filter(F.col("dist") <= 200_000)
+    )
+
+
+@register(
+    "tag_pair_doc_freq",
+    f"""
+WITH {_B},
+x AS (SELECT id, unnest(tags) AS tag FROM b)
+SELECT a.tag AS tag_a, c.tag AS tag_b, count(*) AS ndoc
+FROM x a JOIN x c ON a.id = c.id AND a.tag < c.tag
+GROUP BY 1, 2
+""",
+)
+def tag_pair_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (pair half): document frequency of tag PAIRS — the statistic the
+    reference uses to decide which tag-pair sub-indexes to prebuild
+    (intersection ≥ 0.003·nb, `filter/faiss/faiss.py:308`).  Self-join of
+    the exploded tag table on id."""
+    from filter_vectordb_spark.operators.postings import explode_tags
+
+    x = explode_tags(dense_vectors(spark, sf_dir))
+    a = x.withColumnRenamed("tag", "tag_a")
+    b = x.withColumnRenamed("tag", "tag_b")
+    return (
+        a.join(b, "id")
+        .filter(F.col("tag_a") < F.col("tag_b"))
+        .groupBy("tag_a", "tag_b")
+        .agg(F.count("*").alias("ndoc"))
+    )
+
+
+@register(
+    "dedup_filtered_corpus",
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         {duckdb_char_hash_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")} AS group_key
+  FROM documents)
+SELECT doc_id FROM k
+WHERE doc_id = (SELECT min(k2.doc_id) FROM k k2 WHERE k2.group_key = k.group_key)
+""",
+)
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's terminal op: the corpus filtered to canonical
+    documents only (what a training-data pipeline actually ships)."""
+    from filter_vectordb_spark.operators.dedup import exact_dedup
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = exact_dedup(docs).filter(F.col("is_canonical"))
+    return keep.select("doc_id")
+
+
 # ---------------------------------------------------------------- entry points
 
 

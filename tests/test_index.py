@@ -57,6 +57,23 @@ def test_assignments_cover_base(spark, ivf):
     assert assignments.select("centroid_id").distinct().count() <= NLIST
 
 
+def test_ivf_save_load_roundtrip(spark, ivf, exact, tmp_path):
+    """S5: persisted IVF tables reload and search identically; the saved
+    assignment table is partitioned by centroid_id."""
+    import os
+
+    from filter_vectordb_spark.index.ivf import load_ivf, save_ivf
+
+    out = str(tmp_path / "ivf")
+    save_ivf(*ivf, out)
+    parts = [d for d in os.listdir(f"{out}/assignments") if d.startswith("centroid_id=")]
+    assert len(parts) > 1  # physically partitioned
+    assignments, centroids = load_ivf(spark, out)
+    q = dense_queries(spark, SF_DIR)
+    res = ivf_search(q, assignments, centroids, K, nprobe=NLIST)
+    assert _recall(res, exact) == 1.0
+
+
 def test_tag_partition_scan_prunes(spark, tmp_path):
     """The partition-pruned plan must scan only the queried tag's files."""
     from filter_vectordb_spark.index.tagpart import (

@@ -1,0 +1,58 @@
+"""Property-based differential test: knn_join vs a pure-numpy brute force
+on randomized inputs (hypothesis drives shapes/values; mirrors the
+reference's kernel-vs-oracle differential test,
+`filter/uint8_knn_file/test.py:14-24`)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from filter_vectordb_spark.operators.knn import knn_join
+
+
+def numpy_knn(Q, X, k):
+    d2 = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    out = []
+    for qi in range(len(Q)):
+        order = np.lexsort((np.arange(len(X)), d2[qi]))[:k]
+        out.append(order)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(5, 60),
+    d=st.integers(2, 16),
+    k=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    dup_rows=st.booleans(),
+)
+def test_knn_matches_numpy(spark, n, d, k, seed, dup_rows):
+    rng = np.random.RandomState(seed)
+    X = rng.randint(0, 8, size=(n, d)).astype(np.float64)  # coarse grid → ties
+    if dup_rows:
+        X[1] = X[0]  # exact duplicates exercise the id tiebreak
+    Q = X[:3]
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id BIGINT, emb ARRAY<FLOAT>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(Q)],
+        "qid BIGINT, qemb ARRAY<FLOAT>",
+    )
+    got = (
+        knn_join(queries, base, k, strategy="vectorized")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    expect = numpy_knn(Q, X, k)
+    for qi in range(len(Q)):
+        ids = got[got["qid"] == qi]["id"].tolist()
+        assert ids == list(expect[qi]), (qi, ids, list(expect[qi]))
