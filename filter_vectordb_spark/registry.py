@@ -898,6 +898,91 @@ def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.select("doc_id")
 
 
+@register(
+    "knn_l2_batch",
+    f"""
+WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 256),
+{_B},
+d AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist FROM q, b),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
+SELECT qid, rank, id FROM r WHERE rank <= 10
+""",
+)
+def knn_l2_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-throughput point: 256 queries through one vectorized k-NN
+    join — the reference's QPS figure amortizes per-query index probes;
+    Spark amortizes per-batch BLAS blocks, so throughput = nq / wall."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir, nq=256)
+    return knn_join(q, base, 10, metric="l2", strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + aggregate."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "customer_running_total",
+    """
+SELECT o_custkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM orders
+""",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window per customer (cumulative frame, exact cents)."""
+    from pyspark.sql import Window
+
+    from filter_vectordb_spark.queries.relational import cents
+    from filter_vectordb_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        "o_orderkey",
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias("running_cents"),
+    )
+
+
 # ---------------------------------------------------------------- entry points
 
 

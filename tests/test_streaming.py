@@ -106,6 +106,34 @@ def test_recall_aggregation(spark):
     assert rec[0]["mean_recall"] == 1.0
 
 
+def test_stateful_stream_matches_batch_aggregate(spark):
+    """applyInPandasWithState per-user tracker must converge to the same
+    totals as a batch groupBy over the same events."""
+    from filter_vectordb_spark.sources.tables import load_table
+    from filter_vectordb_spark.streaming.stateful import run_user_activity_to_memory
+
+    got = (
+        run_user_activity_to_memory(spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, "events", SF_DIR)
+    expect = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.max(F.unix_timestamp("ts")).alias("last_epoch"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    cols = ["user_id", "n_events", "sum_value_cents", "last_epoch"]
+    assert got[cols].equals(expect[cols])
+
+
 def test_structured_streaming_matches_batch(spark):
     """The streaming hourly plan must agree with the batch twin."""
     from filter_vectordb_spark.queries.relational import events_hourly
