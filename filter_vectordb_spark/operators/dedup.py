@@ -283,6 +283,57 @@ def minhash_dedup_pairs(docs: DataFrame, tau: float, n: int = 3) -> DataFrame:
     )
 
 
+def minhash_dedup_clusters(
+    docs: DataFrame, n: int = 3, max_iter: int = 5
+) -> DataFrame:
+    """(id, cluster) — LSH dedup that emits CLUSTERS, never pairs.
+
+    On duplicate-heavy corpora the pair form is inherently quadratic in
+    cluster size (a 32-copy document yields 496 true pairs); at 100 TB
+    you must not materialize it.  This is the linear alternative: treat
+    (doc, bucket) as a bipartite graph and propagate minimum ids —
+    per iteration: bucket label = min member label, doc label = min
+    bucket label — until fixpoint (connected components over LSH buckets,
+    the standard large-scale dedup shape).  Work per iteration is one
+    groupBy over the (doc, bucket) edges; no pair set ever exists.
+
+    Keep = one representative (id == cluster) per component; downstream
+    `docs.join(clusters.filter(id == cluster), ...)` ships the deduped
+    corpus.
+    """
+    edges = lsh_buckets(minhash_signatures_wide(docs, n)).select(
+        "id", F.concat_ws(":", "band", "band_key").alias("bucket")
+    )
+    edges = edges.repartition("bucket").cache()
+    labels = edges.select("id").distinct().withColumn("cluster", F.col("id"))
+    try:
+        for _ in range(max_iter):
+            bucket_min = (
+                edges.join(labels, "id")
+                .groupBy("bucket")
+                .agg(F.min("cluster").alias("bmin"))
+            )
+            new_labels = (
+                edges.join(bucket_min, "bucket")
+                .groupBy("id")
+                .agg(F.min("bmin").alias("cluster"))
+            )
+            # fixpoint check: any label still shrinking?
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster") != F.col("o.cluster"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.localCheckpoint(eager=True)
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select("id", "cluster")
+
+
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): weighted bit-vote fingerprint.  Token weight =
     term frequency; bit i of the fingerprint is 1 iff the tf-weighted vote

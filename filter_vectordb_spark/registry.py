@@ -652,6 +652,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), tau=0.8)
 
 
+@register("dedup_minhash_clusters")  # iterative min-propagation — rows-only
+def dedup_minhash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup in CLUSTER form (connected components over LSH buckets
+    via iterative min-label propagation) — the linear-work shape for
+    duplicate-heavy corpora where pair output is inherently quadratic.
+    Iterative ⇒ not SQL-expressible; pinned against a Python union-find
+    over the candidate graph in tests/test_dedup.py."""
+    from filter_vectordb_spark.operators.dedup import minhash_dedup_clusters
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return minhash_dedup_clusters(load_table(spark, "documents", sf_dir))
+
+
 @register(
     "dedup_simhash",
     f"""

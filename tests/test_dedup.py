@@ -84,6 +84,35 @@ def test_minhash_signature_shape(spark, docs):
     assert sigs.groupBy("id").count().filter(F.col("count") != 32).count() == 0
 
 
+def test_minhash_clusters_match_pair_components(spark, docs):
+    """Cluster labels must equal connected components of the LSH candidate
+    graph (computed independently in Python via union-find)."""
+    from filter_vectordb_spark.operators.dedup import minhash_dedup_clusters
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            lsh_buckets(minhash_signatures_wide(docs))
+        ).collect()
+    ]
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in ids}
+    got = {r["id"]: r["cluster"] for r in minhash_dedup_clusters(docs).collect()}
+    assert got == expect
+
+
 def test_simhash_near_dups_have_close_fingerprints(spark, docs):
     """Near-dup docs (jaccard ≥ 0.8) must be within small Hamming distance;
     random pairs must not be, on average."""
