@@ -51,3 +51,21 @@ class BaseEngine(ABC):
     def get_additional(self) -> dict:
         """Engine-reported attrs recorded with each run (A6)."""
         return {"metric": self.metric, **self.index_params, **self.query_args}
+
+    # -- track-specific inputs (each reference track carries its own query
+    # shape and ground-truth computation, `filter/run.py` vs `sparse/run.py`)
+
+    def default_queries(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        from filter_vectordb_spark.sources.vectors import dense_queries
+
+        return dense_queries(spark, sf_dir)
+
+    def exact_truth(
+        self, spark: SparkSession, sf_dir: str, queries: DataFrame, k: int
+    ) -> DataFrame:
+        """(qid, id) exact ground truth for recall@k."""
+        from filter_vectordb_spark.operators.knn import knn_join
+        from filter_vectordb_spark.sources.vectors import dense_vectors
+
+        base = dense_vectors(spark, sf_dir).select("id", "emb")
+        return knn_join(queries, base, k, metric=self.metric).select("qid", "id")

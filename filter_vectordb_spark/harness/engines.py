@@ -57,5 +57,76 @@ class FilteredEngine(BaseEngine):
         mt = float(self.query_args.get("mt_threshold", 0.01))
         return filtered_knn(queries, self.base, k, mt_threshold=mt, n_base=self.n_base)
 
+    def exact_truth(self, spark, sf_dir, queries, k):
+        """Ground truth respects the tag predicate (the reference's
+        filtered-track GT is the filtered exact top-k)."""
+        from filter_vectordb_spark.operators.filtered_knn import (
+            filtered_knn_metadata_first,
+        )
 
-ENGINES = {e.name: e for e in (BruteForceEngine, IVFEngine, FilteredEngine)}
+        return filtered_knn_metadata_first(queries, self.base, k).select("qid", "id")
+
+
+class LSHEngine(BaseEngine):
+    """Hyperplane-LSH cosine ANN (index/lsh.py); query knob: seed."""
+
+    name = "lsh"
+
+    def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.dim = len(self.base.select("emb").first()[0])
+
+    def query(self, queries: DataFrame, k: int) -> DataFrame:
+        from filter_vectordb_spark.index.lsh import lsh_cosine_knn
+
+        seed = int(self.query_args.get("seed", 42))
+        return lsh_cosine_knn(queries, self.base, k, self.dim, seed=seed).select(
+            "qid", "id", "rank"
+        )
+
+
+class SparseEngine(BaseEngine):
+    """Sparse MIPS track (Q5/Q6); query knobs: alpha (F6 mass truncation)
+    and budget (W4 heaviest-dims surrogate).  Queries are the term-table
+    form (qid, term, w) — tracks carry their own query schemas, exactly
+    as the reference's tracks do."""
+
+    name = "sparse"
+
+    def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        from filter_vectordb_spark.operators.sparse import docs_to_terms
+        from filter_vectordb_spark.sources.tables import load_table
+
+        self.dterms = docs_to_terms(load_table(spark, "documents", sf_dir))
+
+    def query(self, queries: DataFrame, k: int) -> DataFrame:
+        from filter_vectordb_spark.operators.sparse import (
+            budget_truncate,
+            sparse_topk,
+            sparsify_alpha,
+        )
+
+        q = queries
+        if "alpha" in self.query_args:
+            q = sparsify_alpha(q, float(self.query_args["alpha"]))
+        if "budget" in self.query_args:
+            q = budget_truncate(q, int(self.query_args["budget"]))
+        return sparse_topk(q, self.dterms, k).select(
+            "qid", F.col("id"), "rank"
+        )
+
+    def default_queries(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            self.dterms.filter(F.col("id") < 5).withColumnRenamed("id", "qid")
+        )
+
+    def exact_truth(self, spark, sf_dir, queries, k):
+        from filter_vectordb_spark.operators.sparse import sparse_topk
+
+        return sparse_topk(queries, self.dterms, k).select("qid", "id")
+
+
+ENGINES = {
+    e.name: e
+    for e in (BruteForceEngine, IVFEngine, FilteredEngine, LSHEngine, SparseEngine)
+}

@@ -17,11 +17,8 @@ import time
 
 import yaml
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from filter_vectordb_spark.harness.engines import ENGINES
-from filter_vectordb_spark.operators.knn import knn_join
-from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
 
 
 def load_config(path: str) -> dict:
@@ -44,12 +41,8 @@ def run_benchmark(
 ) -> list[dict]:
     """Execute every run group in `config`; returns one record per
     (engine, query-args) point: best wall time, recall@k, attrs."""
-    queries = dense_queries(spark, sf_dir)
-    exact = knn_join(queries, dense_vectors(spark, sf_dir), k).select("qid", "id")
-    exact = exact.cache()
-    exact.count()
-
     records = []
+    caches = []
     try:
         for group in config.get("run_groups", []):
             cls = ENGINES[group["engine"]]
@@ -63,6 +56,12 @@ def run_benchmark(
                 build_s = time.perf_counter() - t0
             else:
                 build_s = 0.0
+            # per-track query set + exact ground truth (each track has its
+            # own shapes, as in the reference's per-track runners)
+            queries = engine.default_queries(spark, sf_dir)
+            exact = engine.exact_truth(spark, sf_dir, queries, k).cache()
+            exact.count()
+            caches.append(exact)
             run_count = int(group.get("run_count", 2))
             for qargs in group.get("query_args", [{}]):
                 engine.set_query_arguments(**qargs)
@@ -95,5 +94,6 @@ def run_benchmark(
                     with open(dest + ".attrs.json", "w") as f:
                         json.dump(rec, f, indent=2)
     finally:
-        exact.unpersist()
+        for c in caches:
+            c.unpersist()
     return records

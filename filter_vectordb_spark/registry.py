@@ -125,6 +125,26 @@ def knn_l2_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ip",
+    f"""
+WITH {_Q}, {_B},
+d AS (SELECT q.qid, b.id, {_dot('q.qe', 'b.e')} AS score FROM q, b),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM d)
+SELECT qid, rank, id FROM r WHERE rank <= 10
+""",
+)
+def knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-k maximum inner product — the OOD track's metric
+    (`ood/diskann/diskann-in-mem.py:40-46` mips); exact plan is the
+    oracle the reference's DiskANN recall is judged against."""
+    base = dense_vectors(spark, sf_dir)
+    q = dense_queries(spark, sf_dir)
+    return knn_join(q, base, 10, metric="ip", strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
     "knn_cosine",
     f"""
 WITH {_Q}, {_B},

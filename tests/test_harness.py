@@ -16,13 +16,18 @@ def test_run_benchmark_end_to_end(spark, tmp_path):
     config = load_config(FIXTURE)
     out = str(tmp_path / "results")
     records = run_benchmark(spark, config, SF_DIR, out_dir=out, k=10)
-    assert len(records) == 5  # 2 bruteforce + 2 ivf + 1 filtered points
+    assert len(records) == 9  # 2 bf + 2 ivf + 1 filtered + 1 lsh + 3 sparse
     by_engine = {}
     for r in records:
         by_engine.setdefault(r["engine"], []).append(r)
     # exact engines must have recall 1.0
     for r in by_engine["bruteforce"]:
         assert r["recall_at_k"] == 1.0
+    # sparse exact config has recall 1.0; truncated configs can only lose
+    sp = by_engine["sparse"]
+    assert max(r["recall_at_k"] for r in sp) == 1.0
+    # lsh is approximate but must find something
+    assert by_engine["lsh"][0]["recall_at_k"] > 0.2
     # full-probe ivf exact; reduced probe can only lose recall
     ivf = sorted(by_engine["ivf"], key=lambda r: r["attrs"]["nprobe"])
     assert ivf[-1]["recall_at_k"] == 1.0
@@ -31,7 +36,7 @@ def test_run_benchmark_end_to_end(spark, tmp_path):
         assert r["best_query_s"] > 0
     # S6 sink: parquet + attrs sidecar per run point
     sidecars = [f for f in os.listdir(out) if f.endswith(".attrs.json")]
-    assert len(sidecars) == 5
+    assert len(sidecars) == 9
     with open(os.path.join(out, sidecars[0])) as f:
         attrs = json.load(f)
     assert {"engine", "best_query_s", "recall_at_k", "attrs"} <= set(attrs)
