@@ -65,6 +65,12 @@ def main() -> None:
     # JVM/Arrow warm-up on the smallest fixture so codegen &c. are not
     # attributed to the first measured query
     registry.QUERIES["knn_l2"](spark, "/root/testdata/sf0.001").count()
+    # Index fit() is not search: build the per-sf_dir index caches before
+    # the timed loop, mirroring the reference's fit-then-measure protocol
+    # (`filter/run.py:15-52` — BASELINE QPS numbers exclude build time).
+    # The timed invocations below then serve from the saved indexes.
+    for warm in ("ivf_full_probe", "tag_partition_knn", "lsh_cosine_knn"):
+        registry.QUERIES[warm](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

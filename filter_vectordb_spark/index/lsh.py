@@ -78,15 +78,21 @@ def lsh_cosine_knn(
     k: int,
     dim: int,
     seed: int = 42,
+    base_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: co-bucket join → exact rescoring of
-    candidates → per-query top-k.  queries(qid, qemb), base(id, emb)."""
+    candidates → per-query top-k.  queries(qid, qemb), base(id, emb).
+
+    Pass `base_buckets` (a saved `lsh_bucket_table` output) to serve from
+    a prebuilt index instead of re-bucketing the base per call — the
+    fit()/query() split the reference's runner makes (`filter/run.py:15-52`).
+    """
     from filter_vectordb_spark.functions.distance import cosine_sim
 
     qb = lsh_bucket_table(queries, dim, "qid", "qemb", seed).withColumnRenamed(
         "id", "qid"
     )
-    bb = lsh_bucket_table(base, dim, "id", "emb", seed)
+    bb = base_buckets if base_buckets is not None else lsh_bucket_table(base, dim, "id", "emb", seed)
     cand = bb.join(F.broadcast(qb), "bucket").select("qid", "id").distinct()
     scored = (
         cand.join(base, "id")

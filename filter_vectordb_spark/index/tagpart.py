@@ -24,24 +24,34 @@ from filter_vectordb_spark.operators.postings import explode_tags, tag_stats
 from filter_vectordb_spark.operators.topk import per_group_topk
 
 
+def _frequent_tag_view(base: DataFrame, min_freq: float) -> DataFrame:
+    """(tag, id, emb) for every tag with doc-frequency ≥ min_freq.
+
+    Frequent-tag selection is a broadcast semi-join against the stats
+    table, not collect+isin: at a 200k-tag vocabulary a literal IN-list
+    would be a megabyte of plan; a broadcast join is not.
+    """
+    stats = tag_stats(base)
+    frequent = stats.filter(F.col("freq") >= min_freq).select("tag")
+    return (
+        explode_tags(base)
+        .join(F.broadcast(frequent), "tag")
+        .join(base.select("id", "emb"), "id")
+        .select("tag", "id", "emb")
+    )
+
+
 def build_tag_partitions(
     base: DataFrame,
     out_dir: str,
     min_freq: float = 0.003,
 ) -> list[int]:
-    """Materialize (tag, id, emb) for every tag with doc-frequency ≥
-    min_freq, written `partitionBy("tag")`.  Returns the built tag ids
-    (the reference's 0.003 threshold: `filter/faiss/faiss.py:268`)."""
-    stats = tag_stats(base)
-    frequent = [r["tag"] for r in stats.filter(F.col("freq") >= min_freq).collect()]
-    view = (
-        explode_tags(base)
-        .filter(F.col("tag").isin(frequent))
-        .join(base.select("id", "emb"), "id")
-        .select("tag", "id", "emb")
-    )
+    """Materialize the frequent-tag view, written `partitionBy("tag")`.
+    Returns the built tag ids (the reference's 0.003 threshold:
+    `filter/faiss/faiss.py:268`)."""
+    view = _frequent_tag_view(base, min_freq)
     view.write.mode("overwrite").partitionBy("tag").parquet(out_dir)
-    return sorted(frequent)
+    return sorted(r["tag"] for r in view.select("tag").distinct().collect())
 
 
 def tag_partition_knn(

@@ -70,12 +70,19 @@ def shingle_arrays(
 ) -> DataFrame:
     """(id, shs ARRAY<STRING>) — distinct word n-grams per doc.  Tokens are
     materialized in their own projection so the text is split exactly once
-    per row (see functions/text.py::shingles_of_tokens)."""
+    per row (see functions/text.py::shingles_of_tokens).
+
+    Docs with fewer than n tokens have no n-grams and are dropped here —
+    the same `len(tokens) >= n` the SQL oracles apply; without the guard
+    `F.sequence(0, size-n)` would be a DESCENDING sequence and element_at
+    would throw on real short-document corpora."""
     from filter_vectordb_spark.functions.text import shingles_of_tokens
 
-    return docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
-    ).select("id", shingles_of_tokens(F.col("_toks"), n).alias("shs"))
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select("id", shingles_of_tokens(F.col("_toks"), n).alias("shs"))
+    )
 
 
 def shingle_table(
@@ -193,15 +200,20 @@ def _minhash_wide_vectorized(docs: DataFrame, n: int = 3) -> DataFrame:
 
     def kernel(it):
         for pdf in it:
-            mhs = []
-            for shs in pdf["shs"]:
+            ids, mhs = [], []
+            for rid, shs in zip(pdf["id"], pdf["shs"]):
+                if len(shs) == 0:
+                    # shingle_arrays filters short docs, but guard anyway:
+                    # .min(axis=0) on an empty array raises
+                    continue
                 hs = np.fromiter(
                     (char_hash_py(s) for s in shs), dtype=np.int64, count=len(shs)
                 )
                 # a_j·h < 2^62 — safe in int64
                 mh = ((hs[:, None] * A[None, :] + B[None, :]) % HASH_P).min(axis=0)
+                ids.append(rid)
                 mhs.append(mh.tolist())
-            yield pd.DataFrame({"id": pdf["id"], "mh": mhs})
+            yield pd.DataFrame({"id": ids, "mh": mhs})
 
     # mapInPandas is itself a materialization barrier; repartition spreads
     # a single-file scan before the kernel

@@ -79,7 +79,17 @@ def filtered_knn_scan(
     Per Arrow batch: numpy L2 block vs ALL queries, mask rows failing each
     query's conjunction, partial top-k; global merge finishes.
     """
+    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+
     qpdf = queries.select("qid", "qemb", "qtags").toPandas()
+    if len(qpdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
+            "partition the query set and union the results"
+        )
+    if len(qpdf) == 0:
+        spark = queries.sparkSession
+        return spark.createDataFrame([], "qid BIGINT, id BIGINT, dist DOUBLE, rank INT")
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
     qtags = [np.asarray(t, dtype=np.int64) for t in qpdf["qtags"]]
@@ -151,18 +161,17 @@ def filtered_knn(
     """
     # Per-tag doc counts (A1); estimate per query = min over its tags
     # (upper bound on the conjunction size — reference uses min freq,
-    # `filter/faiss/faiss.py:381-385`).  One aggregation job computes
-    # n_base AND the per-query estimates; the split itself happens on the
-    # collected estimate rows — queries are the provably-small side (same
-    # contract as the broadcast in knn_join), so this costs one job, not
-    # three (a count + two limit-probes would each rerun the stats plan).
+    # `filter/faiss/faiss.py:381-385`).  The routing decision stays a
+    # DataFrame: a broadcast-joined boolean flag per qid, never a
+    # collected id list — at 100k queries a literal IN-list would bloat
+    # the plan; a broadcast hash join does not.
     stats = (
         explode_tags(base)
         .groupBy("tag")
         .agg(F.count("*").alias("ndoc"))
     )
     qx = queries.select("qid", F.explode("qtags").alias("tag"))
-    est_rows = (
+    est = (
         qx.join(F.broadcast(stats), "tag", "left")
         .groupBy("qid")
         .agg(F.min(F.coalesce("ndoc", F.lit(0))).alias("est"))
@@ -171,25 +180,20 @@ def filtered_knn(
             if n_base is None
             else queries.sparkSession.range(1).select(F.lit(n_base).alias("n_base"))
         )
-        .collect()
+        .select(
+            "qid",
+            (F.col("est") < mt_threshold * F.col("n_base")).alias("selective"),
+        )
     )
-    selective_ids = [r["qid"] for r in est_rows if r["est"] < mt_threshold * r["n_base"]]
-    dense_ids = [r["qid"] for r in est_rows if r["est"] >= mt_threshold * r["n_base"]]
-
-    parts = []
-    if selective_ids:
-        parts.append(
-            filtered_knn_metadata_first(
-                queries.filter(F.col("qid").isin(selective_ids)), base, k
-            )
-        )
-    if dense_ids:
-        parts.append(
-            filtered_knn_scan(queries.filter(F.col("qid").isin(dense_ids)), base, k)
-        )
-    if not parts:
-        return filtered_knn_metadata_first(queries, base, k)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    routed = queries.join(F.broadcast(est), "qid", "left").withColumn(
+        # a query with no tags matches everything → scan branch
+        "selective",
+        F.coalesce("selective", F.lit(False)),
+    )
+    meta = filtered_knn_metadata_first(
+        routed.filter(F.col("selective")).drop("selective"), base, k
+    )
+    scan = filtered_knn_scan(
+        routed.filter(~F.col("selective")).drop("selective"), base, k
+    )
+    return meta.unionByName(scan)

@@ -83,6 +83,39 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     )
 
 
+def feature_histogram_long(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Long-form integer variant of `extract_features`: one row per
+    non-empty histogram bin, (id, media_type, bin INT, count BIGINT).
+
+    Scalar columns hash cleanly in result canonicalizers (an ARRAY column
+    does not), and integer counts admit an exact SQL oracle: with 16 bins
+    over [0,256) the bin index is the byte's high hex nibble, and
+    np.resize's cyclic repeat gives each source byte position j a closed
+    form weight  total//n + (1 if j < total%n else 0)  where
+    total = side*side*3, side = max(floor(sqrt(n)), 1).
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, mtypes, bins, counts = [], [], [], []
+            for rid, payload, mtype in zip(pdf["id"], pdf["media"], pdf["media_type"]):
+                arr = decode_media(bytes(payload), mtype, fake_decode)
+                hist, _ = np.histogram(arr.ravel(), bins=FEATURE_DIM, range=(0, 256))
+                for b, c in enumerate(hist):
+                    if c > 0:
+                        ids.append(rid)
+                        mtypes.append(mtype)
+                        bins.append(b)
+                        counts.append(int(c))
+            yield pd.DataFrame(
+                {"id": ids, "media_type": mtypes, "bin": bins, "count": counts}
+            )
+
+    return media.mapInPandas(
+        kernel, schema="id BIGINT, media_type STRING, bin INT, count BIGINT"
+    )
+
+
 def resize_images(media: DataFrame, w: int, h: int, fake_decode: bool = True) -> DataFrame:
     """Resize stub: decode (stub) → nearest-neighbor subsample → re-encode
     byte length only (no codec).  Returns (id, width, height, n_bytes)."""

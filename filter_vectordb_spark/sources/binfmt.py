@@ -32,6 +32,79 @@ def write_dense_bin(path: str, mat: np.ndarray) -> None:
         f.write(np.ascontiguousarray(mat).tobytes())
 
 
+def write_dense_bin_distributed(
+    df: DataFrame,
+    path: str,
+    kind: str,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    n: int | None = None,
+    dim: int | None = None,
+) -> int:
+    """Distributed .u8bin/.i8bin/.fbin writer: the mirror image of
+    `read_dense_bin`.
+
+    The driver writes only the 8-byte header and pre-sizes the file; each
+    task then seeks to `8 + id·d·itemsize` and writes its own rows, so no
+    row ever visits the driver (the round-trip of the format stays
+    partition-parallel both ways).  Requires dense ids 0..n-1 — the
+    format has no row ids, offsets ARE the ids — and shared storage
+    (local FS / NFS / Lustre; an object store would take per-chunk parts
+    + compose instead).
+
+    Rows are range-partitioned and sorted by id first so each task writes
+    a handful of long contiguous runs rather than 1-row scatter writes.
+    Returns the number of rows written (assert == n upstream if needed).
+    """
+    if kind not in DTYPES:
+        raise ValueError(f"kind must be one of {sorted(DTYPES)}")
+    np_dtype = DTYPES[kind]
+    itemsize = np.dtype(np_dtype).itemsize
+    if n is None or dim is None:
+        first = df.select(vec_col).head()
+        if first is None:
+            raise ValueError("cannot write an empty DataFrame")
+        dim = dim or len(first[0])
+        n = n if n is not None else df.count()
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", n, dim))
+        f.truncate(8 + n * dim * itemsize)
+
+    spark = df.sparkSession
+    nparts = min(
+        max(n * dim * itemsize // (32 << 20), 1), spark.sparkContext.defaultParallelism
+    )
+
+    def write_part(it):
+        import pandas as pd
+
+        rows = 0
+        with open(path, "r+b") as f:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                order = np.argsort(ids)
+                ids = ids[order]
+                mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np_dtype)
+                breaks = np.where(np.diff(ids) != 1)[0] + 1
+                for seg_ids, seg in zip(np.split(ids, breaks), np.split(mat, breaks)):
+                    f.seek(8 + int(seg_ids[0]) * dim * itemsize)
+                    f.write(np.ascontiguousarray(seg).tobytes())
+                rows += len(ids)
+        yield pd.DataFrame({"rows": [rows]})
+
+    written = (
+        df.select(id_col, vec_col)
+        .repartitionByRange(nparts, id_col)
+        .mapInPandas(write_part, schema="rows BIGINT")
+        .agg({"rows": "sum"})
+        .collect()[0][0]
+    )
+    return int(written or 0)
+
+
 def read_header(path: str) -> tuple[int, int]:
     with open(path, "rb") as f:
         n, d = struct.unpack("<II", f.read(8))
@@ -57,9 +130,12 @@ def read_dense_bin(
         (path, start, min(rows_per_chunk, n - start), d)
         for start in range(0, n, rows_per_chunk)
     ]
+    # one task per chunk up to 2× core count; beyond that, tasks loop over
+    # several chunks each (scheduling overhead beats read parallelism there)
+    nparts = min(len(chunks), spark.sparkContext.defaultParallelism * 2)
     plan = spark.createDataFrame(
         chunks, "path STRING, start BIGINT, nrows INT, dim INT"
-    ).repartition(max(len(chunks) // 1, 1))
+    ).repartition(nparts)
 
     itemsize = np.dtype(np_dtype).itemsize
     out_elem = "FLOAT" if kind == "fbin" else "INT"

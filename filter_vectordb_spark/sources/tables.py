@@ -36,13 +36,29 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLE_NAMES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) read as long (nanosAsLong); convert to a
-        # microsecond TIMESTAMP — the same ns→µs view DuckDB presents, so
-        # oracle comparisons see identical instants.
-        from pyspark.sql import functions as F
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
 
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events.parquet, whose `ts` is TIMESTAMP(NANOS).
+
+    Spark refuses INT64 TIMESTAMP(NANOS) parquet unless
+    `spark.sql.legacy.parquet.nanosAsLong` is on.  That flag is a runtime SQL
+    conf, but it must be set on whatever session calls us — the driver builds
+    its own — so set it here, read ns-as-long, and convert to the microsecond
+    TIMESTAMP view DuckDB presents, keeping oracle instants identical.
+    """
+    from pyspark.sql import functions as F
+
+    # Left set for the session: the physical reader re-reads this conf when
+    # the action runs, so reverting it after analysis would break execution.
+    # It only changes how NANOS-typed parquet columns surface, nothing else.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -89,6 +89,32 @@ def test_tag_partition_scan_is_pruned(spark, tmp_path):
     assert_partition_pruned(df)
 
 
+def test_filtered_knn_router_has_no_literal_id_inlist(spark):
+    """The selectivity router must split the query batch with a
+    broadcast-joined boolean flag, NOT a collected `qid IN (...)` literal
+    list — at 100k queries an IN-list is megabytes of plan."""
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    df = filtered_knn(dense_queries(spark, SF_DIR), dense_vectors(spark, SF_DIR), 5)
+    plan = physical_plan(df)
+    assert "qid#" in plan  # sanity: the column exists in the plan text
+    assert " IN (" not in plan and "qid IN" not in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_tag_partition_build_has_no_literal_tag_inlist(spark, tmp_path):
+    """Frequent-tag selection in the partition build must be a broadcast
+    semi-join against the stats table, not collect+isin."""
+    from filter_vectordb_spark.index.tagpart import _frequent_tag_view
+    from filter_vectordb_spark.sources.vectors import dense_vectors
+
+    view = _frequent_tag_view(dense_vectors(spark, SF_DIR), min_freq=0.0)
+    plan = physical_plan(view)
+    assert " IN (" not in plan, plan
+    assert_broadcast_join(view, at_least=1)
+
+
 def test_lineitem_projection_prunes_columns(spark):
     from filter_vectordb_spark.sources.tables import load_table
 

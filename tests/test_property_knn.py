@@ -56,3 +56,30 @@ def test_knn_matches_numpy(spark, n, d, k, seed, dup_rows):
     for qi in range(len(Q)):
         ids = got[got["qid"] == qi]["id"].tolist()
         assert ids == list(expect[qi]), (qi, ids, list(expect[qi]))
+
+
+def test_fixture_tie_gap_dwarfs_dot_trick_error():
+    """The vectorized path scores L2 via the BLAS dot trick
+    (‖x‖² − 2x·q + ‖q‖²) while the oracle folds (x−q)² sequentially; on
+    near-TIED distances f64 rounding could flip rank order between them.
+    That cannot happen as long as the fixture's smallest distinct-distance
+    gap per query dwarfs the trick-vs-fold discrepancy — pin exactly that,
+    so a fixture or kernel change that erodes the margin fails loudly
+    instead of surfacing as a mysterious oracle hash mismatch."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    Q = X[:8]
+    fold = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)  # (nq, n)
+    trick = (
+        (X * X).sum(1)[None, :] - 2.0 * (Q @ X.T) + (Q * Q).sum(1)[:, None]
+    )
+    err = np.abs(fold - trick).max()
+    gaps = []
+    for qi in range(len(Q)):
+        d = np.sort(fold[qi])
+        dd = np.diff(d)
+        gaps.append(dd[dd > 0].min())
+    margin = min(gaps) / max(err, 1e-300)
+    assert margin > 1e3, (min(gaps), err, margin)
