@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "tag_pair_doc_freq",
     "token_stats_bpe",
     "dedup_filtered_corpus",
+    "filtered_knn_sig",
+    "tag_pair_partition_knn",
+    "sparse_csr_roundtrip",
+    "streaming_clustered_replay",
+    "filtered_knn_100k",
 ]
 
 
@@ -69,7 +74,16 @@ def main() -> None:
     # the timed loop, mirroring the reference's fit-then-measure protocol
     # (`filter/run.py:15-52` — BASELINE QPS numbers exclude build time).
     # The timed invocations below then serve from the saved indexes.
-    for warm in ("ivf_full_probe", "tag_partition_knn", "lsh_cosine_knn"):
+    for warm in (
+        "ivf_full_probe",
+        "tag_partition_knn",
+        "lsh_cosine_knn",
+        "lang_id_ngram",
+        "sparse_csr_roundtrip",
+        "tag_pair_partition_knn",
+        "filtered_knn_100k",
+        "streaming_clustered_replay",
+    ):
         registry.QUERIES[warm](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
@@ -78,6 +92,14 @@ def main() -> None:
         if fn is None:
             continue
         spark.catalog.clearCache()  # queries are independent; no carry-over
+        # localCheckpoint blocks (replay state snapshots) are freed by the
+        # ContextCleaner only after the Python refs drop AND the JVM GCs;
+        # force both between queries so no query pays its predecessor's
+        # old-gen tax (observed 6× on queries following a replay)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).count()

@@ -50,8 +50,152 @@ def build_tag_partitions(
     Returns the built tag ids (the reference's 0.003 threshold:
     `filter/faiss/faiss.py:268`)."""
     view = _frequent_tag_view(base, min_freq)
-    view.write.mode("overwrite").partitionBy("tag").parquet(out_dir)
+    # see build_tag_pair_partitions: one shuffle partition per tag keeps
+    # the partitioned layout at one file per tag instead of tags × tasks
+    view.repartition("tag").write.mode("overwrite").partitionBy("tag").parquet(out_dir)
     return sorted(r["tag"] for r in view.select("tag").distinct().collect())
+
+
+def build_tag_pair_partitions(
+    base: DataFrame,
+    out_dir: str,
+    min_freq: float = 0.003,
+) -> None:
+    """B2 pair half: materialize (tag_a, tag_b, id, emb) for every tag
+    PAIR whose co-occurrence count ≥ min_freq·n — the reference prebuilds
+    HNSW sub-indexes for exactly these pairs
+    (`filter/faiss/faiss.py:289-337`, threshold `:308`).  Written
+    `partitionBy("tag_a", "tag_b")` so a 2-tag query is partition pruning.
+    """
+    x = explode_tags(base).select("id", "tag")
+    pairs = (
+        x.withColumnRenamed("tag", "tag_a")
+        .join(x.withColumnRenamed("tag", "tag_b"), "id")
+        .filter(F.col("tag_a") < F.col("tag_b"))
+    )
+    n = base.count()
+    freq = (
+        pairs.groupBy("tag_a", "tag_b")
+        .agg(F.count("*").alias("ndoc"))
+        .filter(F.col("ndoc") >= min_freq * n)
+        .select("tag_a", "tag_b")
+    )
+    view = (
+        pairs.join(F.broadcast(freq), ["tag_a", "tag_b"])
+        .join(base.select("id", "emb"), "id")
+        .select("tag_a", "tag_b", "id", "emb")
+    )
+    # one shuffle partition per pair before the partitioned write: without
+    # it every writer task emits a sliver into every pair directory
+    # (pairs × tasks small files — 9k at the 100k benchmark, and file
+    # enumeration then dominates every read)
+    view.repartition("tag_a", "tag_b").write.mode("overwrite").partitionBy(
+        "tag_a", "tag_b"
+    ).parquet(out_dir)
+
+
+def tag_pair_knn(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Q3 for 2-tag queries: route each query's ordered tag pair to its
+    partition of the pair view; pairs below the build threshold (no
+    sub-index — the reference falls back to its single-tag plans there,
+    `filter/faiss/faiss.py:404-418`) take the exact sig-prefiltered scan
+    over `base` instead, so the union is exact for every query.
+
+    queries: (qid, qemb, tag_a INT, tag_b INT) with tag_a < tag_b.
+    Returns (qid, id, dist, rank).
+    """
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_sig_expr
+
+    import numpy as np
+
+    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+
+    part = spark.read.parquet(out_dir)
+    avail = part.select("tag_a", "tag_b").distinct()  # partition listing
+    hit_q = queries.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_semi")
+
+    # Score with per-pair BLAS blocks, not a candidate equi-join: joining
+    # qemb onto every candidate row ships nq × |pair| duplicate query
+    # vectors through Arrow (2 GB at the 100k benchmark); broadcasting the
+    # grouped query matrices ships each once.  Per batch and pair:
+    # X @ Q_pair.T, partial top-k per query — the W3 two-phase shape.
+    qpdf = hit_q.select("qid", "qemb", "tag_a", "tag_b").toPandas()
+    if len(qpdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
+            "partition the query set and union the results"
+        )
+    by_pair: dict = {}
+    for pair, grp in qpdf.groupby(["tag_a", "tag_b"]):
+        by_pair[(int(pair[0]), int(pair[1]))] = (
+            grp["qid"].to_numpy(dtype=np.int64),
+            np.stack(grp["qemb"].to_numpy()).astype(np.float64),
+        )
+    bc = spark.sparkContext.broadcast(by_pair)
+
+    def score(it):
+        import pandas as pd
+
+        groups = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out_q, out_i, out_d = [], [], []
+            for pair, grp in pdf.groupby(["tag_a", "tag_b"]):
+                qg = groups.get((int(pair[0]), int(pair[1])))
+                if qg is None:
+                    continue
+                qids, Q = qg
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                X = np.stack(grp["emb"].to_numpy()).astype(np.float64)
+                D = (
+                    (X * X).sum(1)[:, None]
+                    - 2.0 * (X @ Q.T)
+                    + (Q * Q).sum(1)[None, :]
+                )
+                np.maximum(D, 0.0, out=D)
+                kk = min(k, len(ids))
+                if kk < len(ids):
+                    cand = np.argpartition(D, kk - 1, axis=0)[:kk, :]
+                else:
+                    cand = np.tile(np.arange(len(ids))[:, None], (1, len(qids)))
+                for j in range(len(qids)):
+                    sel = cand[:, j][np.lexsort((ids[cand[:, j]], D[cand[:, j], j]))]
+                    out_q.append(np.full(kk, qids[j], dtype=np.int64))
+                    out_i.append(ids[sel])
+                    out_d.append(D[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    hit_pairs = avail.join(
+        F.broadcast(hit_q.select("tag_a", "tag_b").distinct()), ["tag_a", "tag_b"]
+    )
+    pruned = part.join(F.broadcast(hit_pairs), ["tag_a", "tag_b"])
+    scored = pruned.select("tag_a", "tag_b", "id", "emb").mapInPandas(
+        score, schema="qid long, id long, dist double"
+    )
+    hits = per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+    if base is None:
+        return hits
+    miss_q = queries.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_anti").select(
+        "qid", "qemb", F.array("tag_a", "tag_b").alias("qtags")
+    )
+    misses = filtered_knn_sig_expr(miss_q, base, k).select("qid", "id", "dist", "rank")
+    return hits.unionByName(misses)
 
 
 def tag_partition_knn(

@@ -34,8 +34,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from filter_vectordb_spark.functions.distance import l2_sq
+from filter_vectordb_spark.functions.signature import (
+    MULT,
+    NBITS,
+    SIG_BITS,
+    STEP,
+    sig_from_tags,
+    sig_matches,
+)
 from filter_vectordb_spark.operators.postings import conjunctive_candidates, explode_tags
 from filter_vectordb_spark.operators.topk import per_group_topk
+
+
+def _py_qmask(tags) -> int:
+    """Python mirror of functions/signature.py::sig_from_tags (tag ids are
+    small enough that int64 wraparound never bites)."""
+    m = 0
+    for t in tags:
+        for i in range(NBITS):
+            m |= 1 << ((int(t) * MULT + i * STEP) % SIG_BITS)
+    return m
 
 #: default selectivity threshold — fraction of N below which the
 #: metadata-first plan wins (reference default metadata_threshold=1e-3 of
@@ -76,11 +94,16 @@ def filtered_knn_scan(
     approximate BFS there; exactness is free for us in batch,
     SURVEY.md §2.8 Q2 'Spark counterpart').
 
-    Per Arrow batch: numpy L2 block vs ALL queries, mask rows failing each
-    query's conjunction, partial top-k; global merge finishes.
+    Per Arrow batch: numpy L2 block vs ALL queries; per query, the F2
+    bit-signature superset test rejects most rows with one vectorized
+    int64 AND (`bow_id_selector.swig:122-127`), the exact tag-set check
+    (F3) runs only on the bloom survivors, then partial top-k; global
+    merge finishes.
     """
     from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
 
+    if "sig" not in base.columns:
+        base = base.withColumn("sig", sig_from_tags(F.col("tags")))
     qpdf = queries.select("qid", "qemb", "qtags").toPandas()
     if len(qpdf) > MAX_BROADCAST_QUERIES:
         raise ValueError(
@@ -93,17 +116,18 @@ def filtered_knn_scan(
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
     qtags = [np.asarray(t, dtype=np.int64) for t in qpdf["qtags"]]
-    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, qtags))
+    qmasks = np.array([_py_qmask(t) for t in qpdf["qtags"]], dtype=np.int64)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, qtags, qmasks))
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bqids, bQ, bqtags = bc.value
+        bqids, bQ, bqtags, bqmasks = bc.value
         qn = (bQ * bQ).sum(axis=1)
         for pdf in it:
             if len(pdf) == 0:
                 continue
             ids = pdf["id"].to_numpy(dtype=np.int64)
             X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            # tag membership masks, vectorized per query
+            sigs = pdf["sig"].to_numpy(dtype=np.int64)
             tag_sets = pdf["tags"].map(frozenset).to_numpy()
             xn = (X * X).sum(axis=1)
             D = xn[:, None] - 2.0 * (X @ bQ.T) + qn[None, :]
@@ -111,12 +135,19 @@ def filtered_knn_scan(
             out_q, out_i, out_d = [], [], []
             for j in range(len(bqids)):
                 need = bqtags[j]
-                mask = np.fromiter(
-                    (all(t in s for t in need) for s in tag_sets),
+                # F2 bloom reject: one vectorized AND kills most rows;
+                # false positives possible, false negatives impossible
+                cand = np.nonzero((sigs & bqmasks[j]) == bqmasks[j])[0]
+                if len(cand) == 0:
+                    continue
+                # F3 exact conjunction, survivors only
+                exact = np.fromiter(
+                    (all(t in tag_sets[i] for t in need) for i in cand),
                     dtype=bool,
-                    count=len(tag_sets),
+                    count=len(cand),
                 )
-                if not mask.any():
+                mask = cand[exact]
+                if len(mask) == 0:
                     continue
                 dj = D[mask, j]
                 ij = ids[mask]
@@ -139,9 +170,44 @@ def filtered_knn_scan(
                     }
                 )
 
-    scored = base.select("id", "emb", "tags").mapInPandas(
+    scored = base.select("id", "emb", "tags", "sig").mapInPandas(
         score, schema="qid long, id long, dist double"
     )
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+
+
+def filtered_knn_sig_expr(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Q2 expression variant with the F2 signature pre-filter as a
+    Catalyst predicate: broadcast the queries, reject on
+    `sig & qmask == qmask` (cheap bitwise AND, whole-stage codegen),
+    exact F3 conjunction check on the bloom survivors, score, top-k —
+    the `bow_id_selector.swig:107-130` two-stage check as a visible plan.
+
+    Exact: the signature test never rejects a true match (superset
+    property), so results equal filtered_knn_scan's.
+    """
+    if "sig" not in base.columns:
+        base = base.withColumn("sig", sig_from_tags(F.col("tags")))
+    q = queries.select(
+        "qid",
+        "qemb",
+        "qtags",
+        sig_from_tags(F.col("qtags")).alias("qmask"),
+    )
+    cand = (
+        base.crossJoin(F.broadcast(q))
+        .filter(sig_matches(F.col("sig"), F.col("qmask")))  # F2 bloom reject
+        .filter(  # F3 exact conjunction
+            F.forall(F.col("qtags"), lambda t: F.array_contains(F.col("tags"), t))
+        )
+    )
+    scored = cand.select("qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist"))
     return per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")

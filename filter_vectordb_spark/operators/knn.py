@@ -151,6 +151,34 @@ def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFr
     return b.mapInPandas(score_batches, schema="qid long, id long, dist double")
 
 
+def pairwise_l2_scores(df: DataFrame, q_vec: str = "qemb", b_vec: str = "emb") -> DataFrame:
+    """(qid, id, dist): row-aligned exact L2² over candidate pairs via an
+    Arrow kernel — each row carries its own query vector (the
+    candidate-join shape), so this is an elementwise (E−Q)² batch sum,
+    not a matrix product.
+
+    Use this instead of the `l2_sq` expression when candidate volume is
+    large: Catalyst evaluates higher-order array lambdas interpreted
+    (outside whole-stage codegen), which at ~10⁶ pairs × 192-d is minutes
+    where the numpy kernel is milliseconds.
+    """
+
+    def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[q_vec].to_numpy()).astype(np.float64)
+            X = np.stack(pdf[b_vec].to_numpy()).astype(np.float64)
+            d = ((Q - X) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "id": pdf["id"], "dist": d}
+            )
+
+    return df.select("qid", "id", q_vec, b_vec).mapInPandas(
+        kern, schema="qid long, id long, dist double"
+    )
+
+
 def topk_as_arrays(result: DataFrame, k: int, pad: bool = True) -> DataFrame:
     """Collapse (qid, id, rank) rows into the reference's result-matrix form
     (qid, neighbors ARRAY<BIGINT>), ascending by rank, padded to k with -1

@@ -21,31 +21,46 @@ TOP_M = 200
 
 
 def _trigram_table(docs: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
-    s = F.lower(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1))),
-        lambda i: F.substr(s, i, F.lit(3)),
-    )
-    # materialize the gram array at an exchange, then explode_outer — a
-    # plain explode's implicit size()>0 filter would push below the
-    # exchange and re-evaluate the whole trigram expression per scan row
-    # (see operators/dedup.py::shingle_table)
+    """(ids..., trigram) — distinct lowercase char trigrams per doc.
+
+    Arrow mapInPandas kernel, not a substr-transform expression: the
+    per-position substr pipeline costs ~4s where the Python set
+    comprehension costs ~0.8s at sf0.1 — per-character UTF8String
+    allocation in the JVM loses to one pass over a native str (measured;
+    the expression variant also needed careful barriers against
+    projection-collapse re-evaluation of lower()).  The repartition
+    spreads a single-file scan across cores before the fan-out.
+    """
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_ids: dict[str, list] = {c: [] for c in id_cols}
+            grams: list[str] = []
+            for row in pdf.itertuples(index=False):
+                s = getattr(row, text_col).lower()
+                gs = {s[i : i + 3] for i in range(len(s) - 2)}
+                for c in id_cols:
+                    out_ids[c].extend([getattr(row, c)] * len(gs))
+                grams.extend(gs)
+            out_ids["trigram"] = grams
+            yield pd.DataFrame(out_ids)
+
+    in_schema = docs.select(*id_cols, text_col).schema
+    id_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema if f.name != text_col)
     return (
-        docs.select(*id_cols, F.array_distinct(grams).alias("_grams"))
+        docs.select(*id_cols, text_col)
         .repartition(*id_cols)
-        .select(*id_cols, F.explode_outer("_grams").alias("trigram"))
-        .filter(F.length("trigram") == 3)
+        .mapInPandas(kernel, schema=f"{id_fields}, trigram STRING")
     )
 
 
-def train_lang_profiles(docs: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
-    """(lang, trigram, weight): top-M trigrams per language, weight =
-    M − rank (most characteristic trigram weighs most)."""
-    counts = (
-        _trigram_table(docs, [lang_col], text_col)
-        .groupBy(lang_col, "trigram")
-        .agg(F.count("*").alias("cnt"))
-    )
+def profiles_from_grams(grams: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """(lang, trigram, weight) from an exploded trigram table: top-M
+    trigrams per language, weight = M − rank (most characteristic trigram
+    weighs most)."""
+    counts = grams.groupBy(lang_col, "trigram").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy(lang_col).orderBy(F.col("cnt").desc(), F.col("trigram").asc())
     return (
         counts.withColumn("rank", F.row_number().over(w))
@@ -54,12 +69,14 @@ def train_lang_profiles(docs: DataFrame, lang_col: str = "lang", text_col: str =
     )
 
 
-def predict_lang(docs: DataFrame, profiles: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def predict_from_grams(
+    grams: DataFrame, profiles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
     """(doc_id, lang_pred, score): argmax profile overlap per document.
     Deterministic tiebreak: lexicographically smallest language."""
-    doc_grams = _trigram_table(docs, [id_col], text_col)
     scored = (
-        doc_grams.join(F.broadcast(profiles), "trigram")
+        grams.select(id_col, "trigram")
+        .join(F.broadcast(profiles), "trigram")
         .groupBy(id_col, "lang")
         .agg(F.sum("weight").alias("score"))
     )
@@ -69,3 +86,25 @@ def predict_lang(docs: DataFrame, profiles: DataFrame, id_col: str = "doc_id", t
         .filter(F.col("rn") == 1)
         .select(F.col(id_col).alias("doc_id"), F.col("lang").alias("lang_pred"), "score")
     )
+
+
+def train_lang_profiles(docs: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    return profiles_from_grams(_trigram_table(docs, [lang_col], text_col), lang_col)
+
+
+def predict_lang(docs: DataFrame, profiles: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return predict_from_grams(_trigram_table(docs, [id_col], text_col), profiles, id_col)
+
+
+def lang_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train + predict over ONE trigram explosion: both phases consume the
+    same (doc_id, lang, trigram) table, and because the two subtrees are
+    plan-identical up to its repartition exchange, Spark's ReusedExchange
+    evaluates the expensive string pipeline once instead of twice."""
+    grams = _trigram_table(docs, [id_col, lang_col], text_col)
+    return predict_from_grams(grams, profiles_from_grams(grams, lang_col), id_col)

@@ -1,0 +1,75 @@
+"""Synthetic scale fixtures (bench-honesty track).
+
+The driver fixtures top out at 2,000 vectors — three orders of magnitude
+below the reference's yfcc-10M filter track (10M × 192-d uint8, 1-2 tag
+conjunctions, BASELINE.md row 1).  This module generates a deterministic
+100k × 192-d uint8 base with the same tag-frequency profile as
+sources/vectors.py (10 coarse / 7 mid / 13 fine tags), so the filtered
+k-NN stack can be measured at a scale where per-query work, not Spark
+constants, dominates — the closest apples-to-apples point the container
+allows.
+
+Values are a Knuth-multiplicative-hash pattern: distance work is
+data-independent, generation is vectorized and instant, and every value
+is recomputable anywhere (no RNG state to ship).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.functions.signature import sig_from_tags
+
+SCALE_N = 100_000
+SCALE_D = 192
+# 8k queries: large enough that per-job Spark constants amortize (QPS
+# scales ~linearly with batch until compute-bound — see docs/RESULTS_r2.md)
+SCALE_NQ = 8_192
+
+_K1 = 2654435761
+_K2 = 40503
+
+
+def synth_uint8_base(
+    spark: SparkSession, n: int = SCALE_N, d: int = SCALE_D
+) -> DataFrame:
+    """(id, emb ARRAY<INT> in 0..250, tags ARRAY<INT>, sig BIGINT) —
+    generated partition-parallel; ~19 MB of vector payload at defaults."""
+
+    def gen(it):
+        import pandas as pd
+
+        js = np.arange(d, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            E = ((ids[:, None] * _K1 + js[None, :] * _K2 + (ids[:, None] >> 7)) % 251).astype(
+                np.int32
+            )
+            yield pd.DataFrame({"id": ids, "emb": list(E)})
+
+    base = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema="id BIGINT, emb ARRAY<INT>")
+    )
+    v = F.col("id")
+    tags = F.array(
+        (v % 10).cast("int"),
+        (F.lit(10) + v % 7).cast("int"),
+        (F.lit(20) + v % 13).cast("int"),
+    )
+    return base.withColumn("tags", tags).withColumn("sig", sig_from_tags(tags))
+
+
+def synth_queries(spark: SparkSession, nq: int = SCALE_NQ, d: int = SCALE_D) -> DataFrame:
+    """(qid, qemb, qtags) — the first nq base vectors with the 2-tag
+    conjunction [coarse, mid] (selectivity 1/70, the yfcc-style 1-2 tag
+    regime)."""
+    q = synth_uint8_base(spark, nq, d)
+    return q.select(
+        F.col("id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.array(F.col("tags")[0], F.col("tags")[1]).alias("qtags"),
+    )

@@ -53,9 +53,16 @@ class Runbook:
 
 
 def parse_runbook_yaml(path: str, dataset: str | None = None) -> Runbook:
-    """Parse the reference's runbook format: a map dataset → {max_pts,
-    step_index: {operation, start, end}} with integer-keyed ordered steps
-    (`streaming/simple_runbook.yaml:1-21`, `streaming/run.py:33-58`)."""
+    """Parse the reference's runbook formats: a map dataset → {max_pts?,
+    step_index: step} with integer-keyed ordered steps
+    (`streaming/simple_runbook.yaml:1-21`, `streaming/run.py:33-58`).
+
+    A step is either a flat dict {operation, start, end} (hand-written
+    runbooks) or the generator's list-of-single-key-dicts form
+    [{operation: insert}, {start: 0}, {end: 10}]
+    (`streaming/clustered_data_gen.py:79-88`), which also omits max_pts —
+    defaulted to the max insert `end` then.
+    """
     import yaml
 
     with open(path) as f:
@@ -63,10 +70,14 @@ def parse_runbook_yaml(path: str, dataset: str | None = None) -> Runbook:
     if dataset is None:
         dataset = next(iter(doc))
     spec = doc[dataset]
-    max_pts = int(spec["max_pts"])
     steps = []
     for key in sorted(k for k in spec if isinstance(k, int) or str(k).isdigit()):
         s = spec[key]
+        if isinstance(s, list):  # generator form: merge the one-key dicts
+            merged: dict = {}
+            for item in s:
+                merged.update(item)
+            s = merged
         steps.append(
             RunbookStep(
                 operation=s["operation"],
@@ -75,65 +86,135 @@ def parse_runbook_yaml(path: str, dataset: str | None = None) -> Runbook:
                 radius=s.get("radius"),
             )
         )
+    if "max_pts" in spec:
+        max_pts = int(spec["max_pts"])
+    else:
+        ends = [st.end for st in steps if st.operation == "insert" and st.end]
+        if not ends:
+            raise ValueError(f"runbook {path!r} has no max_pts and no insert steps")
+        max_pts = max(ends)
     return Runbook(max_pts=max_pts, steps=steps)
 
 
+def _sub_interval(intervals: list[tuple[int, int]], start: int, end: int) -> tuple[list[tuple[int, int]], int]:
+    """Remove [start, end) from a disjoint interval list; returns
+    (new_intervals, number_of_points_removed)."""
+    out: list[tuple[int, int]] = []
+    removed = 0
+    for s, e in intervals:
+        lo, hi = max(s, start), min(e, end)
+        if lo < hi:
+            removed += hi - lo
+            if s < lo:
+                out.append((s, lo))
+            if hi < e:
+                out.append((hi, e))
+        else:
+            out.append((s, e))
+    return out, removed
+
+
 class StreamingReplayer:
-    """ST1 setup: empty capacity-capped state (`streaming/base.py:9-16`)."""
+    """ST1 setup: empty capacity-capped state (`streaming/base.py:9-16`).
+
+    Control plane vs data plane: every runbook mutation is an id RANGE,
+    so live-point accounting (the ST4 consolidation trigger,
+    `diskann-str.py:79-81`) is exact pure-Python interval arithmetic — no
+    count() jobs against the cluster.  Only the vectors themselves live in
+    the state DataFrame; lineage is truncated with a localCheckpoint every
+    few mutations rather than every step (each eager checkpoint is a full
+    materialization)."""
+
+    CHECKPOINT_EVERY = 4
 
     def __init__(self, spark: SparkSession, max_pts: int):
         self.spark = spark
         self.max_pts = max_pts
         self.state: DataFrame | None = None
         self.unprocessed_deletes = 0
+        self._live: list[tuple[int, int]] = []  # disjoint id intervals
+        self._mutations = 0
+        # consecutive inserts coalesce into ONE union+anti-join at the
+        # next read/delete — drift runbooks insert cluster after cluster
+        # between searches, and per-step state rewrites are pure overhead
+        self._pending: list[tuple[DataFrame, int, int]] = []
+
+    def _truncate_lineage(self, force: bool = False) -> None:
+        self._mutations += 1
+        if force or self._mutations % self.CHECKPOINT_EVERY == 0:
+            self.state = self.state.localCheckpoint(eager=True)
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        batch = self._pending[0][0]
+        for rows, _, _ in self._pending[1:]:
+            batch = batch.unionByName(rows)
+        batch = batch.select("id", "emb").withColumn("deleted", F.lit(False))
+        if self.state is None:
+            self.state = batch
+        else:
+            kept = self.state.join(batch.select("id"), "id", "left_anti")
+            self.state = kept.unionByName(batch)
+        self._pending = []
+        self._truncate_lineage()
 
     # -- ST2 ---------------------------------------------------------------
-    def insert(self, rows: DataFrame) -> None:
-        """Upsert (id, emb) rows; colliding ids are replaced."""
-        rows = rows.select("id", "emb").withColumn("deleted", F.lit(False))
-        if self.state is None:
-            self.state = rows
-        else:
-            kept = self.state.join(rows.select("id"), "id", "left_anti")
-            self.state = kept.unionByName(rows)
+    def insert(self, rows: DataFrame, start: int | None = None, end: int | None = None) -> None:
+        """Upsert (id, emb) rows; colliding ids are replaced.  start/end
+        declare the id range (the runbook contract); when omitted the
+        range is probed from the rows (two tiny agg jobs)."""
+        if start is None or end is None:
+            lohi = rows.agg(F.min("id"), F.max("id")).collect()[0]
+            start, end = int(lohi[0]), int(lohi[1]) + 1
+        if any(start < pe and ps < end for _, ps, pe in self._pending):
+            # overlapping ranges within one batch would make "last write
+            # wins" ambiguous in a single union — flush the earlier ones
+            self._flush()
+        self._pending.append((rows.select("id", "emb"), start, end))
+        self._live, _ = _sub_interval(self._live, start, end)  # replace collisions
+        self._live.append((start, end))
         self._maybe_consolidate()
-        self.state = self.state.localCheckpoint(eager=True)
 
     # -- ST3 ---------------------------------------------------------------
     def delete_range(self, start: int, end: int) -> None:
         """Tombstone ids in [start, end) (`streaming/run.py:42-44`)."""
+        self._flush()
         if self.state is None:
             return
-        hit = F.col("id").between(start, end - 1) & ~F.col("deleted")
-        n_new = self.state.filter(hit).count()
         self.state = self.state.withColumn(
             "deleted", F.col("deleted") | F.col("id").between(start, end - 1)
         )
+        self._live, n_new = _sub_interval(self._live, start, end)
         self.unprocessed_deletes += n_new
         self._maybe_consolidate()
-        self.state = self.state.localCheckpoint(eager=True)
+        self._truncate_lineage()
 
     # -- ST4 ---------------------------------------------------------------
     def _maybe_consolidate(self) -> None:
         """Physical tombstone removal when active + unprocessed deletes
-        would exceed capacity (`diskann-str.py:79-81` trigger rule)."""
+        would exceed capacity (`diskann-str.py:79-81` trigger rule) —
+        trigger arithmetic from the interval ledger, zero jobs."""
         if self.state is None or self.unprocessed_deletes == 0:
             return
-        active = self.state.filter(~F.col("deleted")).count()
+        active = sum(e - s for s, e in self._live)
         if active + self.unprocessed_deletes >= self.max_pts:
             self.state = self.state.filter(~F.col("deleted"))
             self.unprocessed_deletes = 0
 
     def consolidate(self) -> None:
         """Explicit compaction (Delta OPTIMIZE analog)."""
+        self._flush()
         if self.state is not None:
             self.state = self.state.filter(~F.col("deleted")).localCheckpoint(
                 eager=True
             )
             self.unprocessed_deletes = 0
+            self._mutations = 0
 
     # -- ST5/ST6 -----------------------------------------------------------
     def active(self) -> DataFrame:
+        self._flush()
         if self.state is None:
             raise RuntimeError("setup/insert before search")
         return self.state.filter(~F.col("deleted")).select("id", "emb")
@@ -179,7 +260,7 @@ def replay(
             rows = source.filter(
                 F.col("id").between(step.start, step.end - 1)
             )
-            rp.insert(rows)
+            rp.insert(rows, step.start, step.end)
         elif step.operation == "delete":
             rp.delete_range(step.start, step.end)
         elif step.operation == "search":

@@ -115,6 +115,52 @@ def test_tag_partition_build_has_no_literal_tag_inlist(spark, tmp_path):
     assert_broadcast_join(view, at_least=1)
 
 
+def test_filtered_knn_sig_predicate_is_in_the_plan(spark):
+    """The F2 bloom reject must be a visible Catalyst filter (bitwise AND
+    against the query mask) ahead of the exact tag check, and the results
+    must equal the scan branch exactly (no false negatives)."""
+    from filter_vectordb_spark.operators.filtered_knn import (
+        filtered_knn_scan,
+        filtered_knn_sig_expr,
+    )
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    q = dense_queries(spark, SF_DIR)
+    base = dense_vectors(spark, SF_DIR)
+    df = filtered_knn_sig_expr(q, base, 5)
+    plan = physical_plan(df)
+    assert "& qmask" in plan.replace("#", " #").replace("(", " (") or "&" in plan, plan
+    assert "qmask" in plan, plan
+    a = df.select("qid", "rank", "id").toPandas().sort_values(["qid", "rank"])
+    b = (
+        filtered_knn_scan(q, base, 5)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_tag_pair_partition_scan_is_pruned(spark, tmp_path):
+    """2-tag search over the pair view must prune to the probed pairs."""
+    from filter_vectordb_spark.index.tagpart import (
+        build_tag_pair_partitions,
+        tag_pair_knn,
+    )
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    out = str(tmp_path / "tp2")
+    build_tag_pair_partitions(dense_vectors(spark, SF_DIR), out, min_freq=0.0)
+    q = dense_queries(spark, SF_DIR).select(
+        "qid",
+        "qemb",
+        F.least(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_a"),
+        F.greatest(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_b"),
+    )
+    df = tag_pair_knn(spark, out, q, 5)
+    assert_partition_pruned(df)
+
+
 def test_lineitem_projection_prunes_columns(spark):
     from filter_vectordb_spark.sources.tables import load_table
 

@@ -1,0 +1,80 @@
+"""Multi-format runbook coverage: every runbook YAML the reference ships
+must parse, and a real reference runbook must replay end-to-end.
+
+Formats covered: flat-dict steps with max_pts + stray non-step keys like
+gt_url (`streaming/simple_runbook.yaml`), the 482-line delete_runbook,
+multi-dataset files, and the generator's list-of-dicts form (covered in
+test_streaming.py)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+import yaml
+
+from filter_vectordb_spark.streaming.runbook import parse_runbook_yaml, replay
+
+REF_RUNBOOKS = sorted(glob.glob("/root/reference/streaming/*.yaml"))
+
+VALID_OPS = {"insert", "delete", "search", "range", "replace"}
+
+
+@pytest.mark.parametrize("path", REF_RUNBOOKS)
+def test_every_reference_runbook_parses(path):
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    for dataset in doc:
+        rb = parse_runbook_yaml(path, dataset)
+        assert rb.max_pts > 0
+        assert rb.steps, (path, dataset)
+        for s in rb.steps:
+            assert s.operation in VALID_OPS, (path, dataset, s.operation)
+            if s.operation in ("insert", "delete"):
+                assert s.start is not None and s.end is not None
+                # max_pts is live-point CAPACITY, not an id-space bound:
+                # drift runbooks insert ids far beyond it and rely on
+                # deletes to stay under capacity
+                assert 0 <= s.start < s.end
+
+
+def test_reference_clustered_runbook_replays(spark):
+    """Replay the reference's own random-xs-clustered delete_runbook
+    (6,400 points, interleaved insert/delete/search) against a synthetic
+    base — checkpoints exist and results only contain live ids."""
+    from pyspark.sql import functions as F
+
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+    rb = parse_runbook_yaml(
+        "/root/reference/streaming/delete_runbook.yaml", "random-xs-clustered"
+    )
+    # first 20 steps (incl. inserts, both delete bursts, searches): the
+    # full 76-step replay is minutes of localCheckpoints — same algebra
+    rb.steps = rb.steps[:20]
+    n_src = max(s.end for s in rb.steps if s.operation == "insert")
+    source = synth_uint8_base(spark, n=n_src, d=16).select("id", "emb")
+    queries = (
+        source.filter(F.col("id") < 4)
+        .select(F.col("id").alias("qid"), F.col("emb").alias("qemb"))
+    )
+    res = replay(spark, source, rb, queries, k=5).toPandas()
+    n_searches = sum(1 for s in rb.steps if s.operation == "search")
+    assert res["checkpoint"].nunique() == n_searches
+    # replay the op algebra in plain python to know the live set per checkpoint
+    live: set[int] = set()
+    ck = 0
+    live_at = {}
+    for s in rb.steps:
+        if s.operation == "insert":
+            live |= set(range(s.start, s.end))
+        elif s.operation == "delete":
+            live -= set(range(s.start, s.end))
+        elif s.operation == "search":
+            ck += 1
+            live_at[ck] = set(live)
+    for ck_id, grp in res.groupby("checkpoint"):
+        assert set(grp["id"]) <= live_at[ck_id], f"checkpoint {ck_id} leaked deleted ids"
+        # every query finds k neighbors while enough points are live
+        if len(live_at[ck_id]) >= 5:
+            assert len(grp) == 4 * 5

@@ -150,3 +150,67 @@ def test_structured_streaming_matches_batch(spark):
     s = stream_res[cols].sort_values(cols).reset_index(drop=True)
     b = batch[cols].sort_values(cols).reset_index(drop=True)
     assert s.equals(b)
+
+
+def test_cluster_permutation_is_contiguous_bijection(spark):
+    """B6: new ids are a bijection onto 0..n-1 and each cluster owns one
+    contiguous new-id range, in label order — the reference's
+    offsets/counters permutation contract (clustered_data_gen.py:28-40)."""
+    from filter_vectordb_spark.sources.vectors import dense_vectors
+    from filter_vectordb_spark.streaming.clustered import (
+        cluster_permutation,
+        quantize_labels,
+    )
+
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    cent = base.filter(F.col("id") < 8).select(
+        F.col("id").cast("int").alias("cid"), F.col("emb").alias("cemb")
+    )
+    permuted, offsets = cluster_permutation(quantize_labels(base, cent))
+    pdf = permuted.toPandas().sort_values("new_id").reset_index(drop=True)
+    n = len(pdf)
+    assert offsets[0] == 0 and offsets[-1] == n
+    assert sorted(pdf["new_id"]) == list(range(n))
+    labels_in_order = pdf["label"].to_numpy()
+    for c in range(len(offsets) - 1):
+        seg = labels_in_order[offsets[c] : offsets[c + 1]]
+        assert len(set(seg)) == 1  # one cluster per contiguous range
+    # label order is ascending across ranges
+    firsts = [labels_in_order[offsets[c]] for c in range(len(offsets) - 1)]
+    assert firsts == sorted(firsts)
+
+
+def test_generated_drift_runbook_parses(tmp_path):
+    """The generator's list-of-single-key-dicts YAML (no max_pts) must
+    parse: steps merged, max_pts defaulted to the max insert end."""
+    from filter_vectordb_spark.streaming.clustered import generate_drift_runbook
+    from filter_vectordb_spark.streaming.runbook import parse_runbook_yaml
+
+    p = str(tmp_path / "rb.yaml")
+    generate_drift_runbook(
+        [0, 10, 25, 40], p, search_after=(2,), delete_first_cluster=True
+    )
+    rb = parse_runbook_yaml(p)
+    assert rb.max_pts == 40
+    ops = [(s.operation, s.start, s.end) for s in rb.steps]
+    assert ops == [
+        ("insert", 0, 10),
+        ("insert", 10, 25),
+        ("insert", 25, 40),
+        ("search", None, None),
+        ("delete", 0, 10),
+        ("search", None, None),
+    ]
+
+
+def test_kmeans_labels_production_path(spark):
+    """MLlib-KMeans labeling (the non-oracle production clustering) yields
+    a full assignment with the requested number of clusters at most."""
+    from filter_vectordb_spark.sources.vectors import dense_vectors
+    from filter_vectordb_spark.streaming.clustered import kmeans_labels
+
+    base = dense_vectors(spark, SF_DIR).select("id", "emb")
+    lab = kmeans_labels(base, 4).toPandas()
+    assert len(lab) == base.count()
+    assert lab["label"].nunique() <= 4
+    assert set(lab.columns) >= {"id", "emb", "label"}
