@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "sparse_csr_roundtrip",
     "streaming_clustered_replay",
     "filtered_knn_100k",
+    "events_hourly_stream",
+    # embedding_near_dup_lsh is correctness-gated but not benched: at
+    # τ=0.45 hyperplane buckets barely prune (63° pairs collide in most
+    # bands), so at fixture scale the exact BLAS path is simply the right
+    # plan — the bucketed path exists for corpora past the broadcast cap
 ]
 
 

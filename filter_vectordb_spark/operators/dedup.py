@@ -403,11 +403,11 @@ def embedding_near_dup(
 
     from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
 
+    if emb.count() > MAX_BROADCAST_QUERIES:
+        # beyond the broadcast cap: bucket-then-verify scale path
+        # (approximate candidate recall, exact precision — see its doc)
+        return embedding_near_dup_bucketed(emb, tau, id_col, vec_col)
     pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    if len(pdf) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            "embedding_near_dup broadcast side too large; bucket with IVF/LSH first"
-        )
     ids_all = pdf["id"].to_numpy(dtype=np.int64)
     V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     norms = np.sqrt((V * V).sum(axis=1))
@@ -428,3 +428,79 @@ def embedding_near_dup(
     return emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).mapInPandas(kernel, schema="id_a BIGINT, id_b BIGINT")
+
+
+def embedding_near_dup_bucketed(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 24,
+    n_bands: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """The scale path `embedding_near_dup` defers to beyond its broadcast
+    cap: hyperplane-LSH bucket the vectors map-side, generate candidate
+    pairs only within co-buckets, then verify each candidate with the
+    exact cosine — bucket-then-verify, the same shape as
+    minhash_dedup_pairs, O(Σ bucket²) candidates instead of O(n²).
+
+    Candidate recall is parameter-controlled (2-bit bands: a pair at
+    cosine τ collides in ≥1 of 12 bands w.p. ~1-(1-(1-θ/π)²)¹² — ≈0.999
+    at τ=0.45); precision is exact (every emitted pair is verified).
+    Recall vs the brute-force plan is pinned in tests/test_dedup.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bits_per_band = n_bits // n_bands
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    dim = len(e.select("v").head()[0])
+    H = np.random.RandomState(seed).normal(size=(n_bits, dim))
+    bc = emb.sparkSession.sparkContext.broadcast(H)
+
+    def bucket_kernel(it):
+        bH = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (X @ bH.T) > 0
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            keys = np.zeros((len(X), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                keys[:, b] = (b << 32) | (chunk @ (1 << np.arange(bits_per_band)))
+            yield pd.DataFrame(
+                {"id": np.repeat(ids, n_bands), "bucket": keys.ravel()}
+            )
+
+    buckets = e.mapInPandas(bucket_kernel, schema="id BIGINT, bucket BIGINT")
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only (gather both vectors, one
+    # Arrow kernel pass — work ∝ |candidates|)
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+
+    def verify_kernel(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            s = (A * B).sum(1) / (
+                np.sqrt((A * A).sum(1)) * np.sqrt((B * B).sum(1))
+            )
+            keep = s >= tau
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"][keep], "id_b": pdf["id_b"][keep]}
+            )
+
+    return pairs.mapInPandas(verify_kernel, schema="id_a BIGINT, id_b BIGINT")

@@ -504,6 +504,27 @@ register("events_sessionize", _rel.SESSIONIZE_ORACLE)(_rel.sessionize)
 register("orders_priority_rollup", _rel.ORDERS_ROLLUP_ORACLE)(_rel.orders_priority_rollup)
 
 
+@register(
+    "events_hourly_stream",
+    """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface under the driver gate: the watermarked
+    tumbling-window twin of events_hourly, driven through readStream →
+    memory sink with processAllAvailable — the streamed result must equal
+    the batch oracle exactly (integer cents)."""
+    from filter_vectordb_spark.streaming.events import run_stream_to_memory
+
+    return run_stream_to_memory(spark, sf_dir)
+
+
 # --------------------------------------------------------- streaming replay (ST1-ST6)
 
 
@@ -855,7 +876,29 @@ def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_ngram")  # heuristic classifier — rows-only check
+@register(
+    "lang_id_ngram",
+    """
+WITH g AS (
+  SELECT DISTINCT doc_id, lang, substr(lower(text), CAST(j + 1 AS INT), 3) AS trigram
+  FROM documents, unnest(range(length(text) - 2)) t(j)
+),
+cnt AS (SELECT lang, trigram, count(*) AS c FROM g GROUP BY 1, 2),
+prof AS (
+  SELECT lang, trigram,
+         200 - row_number() OVER (PARTITION BY lang ORDER BY c DESC, trigram) AS weight
+  FROM cnt
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, trigram) <= 200
+),
+sc AS (
+  SELECT g.doc_id, prof.lang, CAST(sum(prof.weight) AS BIGINT) AS score
+  FROM (SELECT DISTINCT doc_id, trigram FROM g) g
+  JOIN prof USING (trigram) GROUP BY 1, 2
+)
+SELECT doc_id, lang AS lang_pred, score FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+""",
+)
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language ID: profile training is model FIT (the
     profile table is the index — built once per sf_dir, ~langs×200 rows),
@@ -934,13 +977,53 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), tau=0.8)
 
 
-@register("dedup_minhash_clusters")  # iterative min-propagation — rows-only
+def _minhash_clusters_oracle() -> str:
+    """Recursive-CTE oracle for the cluster-form LSH dedup: recompute the
+    minhash band keys with the identical integer arithmetic, then take
+    connected components as a transitive closure + min label.  (The
+    closure materializes per-component pair reach — fine at oracle scale,
+    exactly what the Spark side must never do at corpus scale.)"""
+    from filter_vectordb_spark.operators.dedup import (
+        BAND_MIX,
+        N_BANDS,
+        N_HASHES,
+        PERM_A_MULT,
+        PERM_B_MULT,
+        ROWS_PER_BAND,
+    )
+    from filter_vectordb_spark.functions.text import HASH_P
+
+    js = "[" + ",".join(str(j) for j in range(N_HASHES)) + "]"
+    return f"""
+WITH RECURSIVE
+{_SHINGLE_CTE},
+hs AS (SELECT id, list_transform(shs, s -> {duckdb_char_hash_sql('s')}) AS hs FROM sh),
+mh AS (SELECT id, list_transform({js}, j ->
+        list_min(list_transform(hs, h ->
+          (((j * {PERM_A_MULT} + 1) % {HASH_P}) * h + (j * {PERM_B_MULT} + 7) % {HASH_P}) % {HASH_P}))) AS mh
+       FROM hs),
+bk AS (SELECT id, CAST(b AS INT) AS band,
+       list_reduce(list_prepend(0::BIGINT, mh[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}]),
+                   (acc, v) -> (acc * {BAND_MIX} + v) % {HASH_P}) AS key
+       FROM mh, unnest(range({N_BANDS})) tb(b)),
+edges AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key),
+reach AS (
+  SELECT id, id AS lab FROM sh
+  UNION
+  SELECT e.id_a, r.lab FROM edges e JOIN reach r ON r.id = e.id_b
+)
+SELECT id, CAST(min(lab) AS BIGINT) AS cluster FROM reach GROUP BY id
+"""
+
+
+@register("dedup_minhash_clusters", _minhash_clusters_oracle())
 def dedup_minhash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH dedup in CLUSTER form (connected components over LSH buckets
     via iterative min-label propagation) — the linear-work shape for
     duplicate-heavy corpora where pair output is inherently quadratic.
-    Iterative ⇒ not SQL-expressible; pinned against a Python union-find
-    over the candidate graph in tests/test_dedup.py."""
+    Oracle: identical band keys + recursive-CTE transitive closure; also
+    pinned against a Python union-find in tests/test_dedup.py."""
     from filter_vectordb_spark.operators.dedup import minhash_dedup_clusters
     from filter_vectordb_spark.sources.tables import load_table
 
@@ -991,6 +1074,22 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(load_table(spark, "embeddings", sf_dir), tau=0.45)
 
 
+@register("embedding_near_dup_lsh", ORACLES["embedding_near_dup"])
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-then-verify SCALE path for embedding near-dup
+    (hyperplane-LSH candidates + exact cosine verification) — the route
+    embedding_near_dup takes automatically beyond its broadcast cap.
+    Compared against the same brute-force oracle: candidate recall at
+    these parameters is ~0.999 and deterministic on the fixture, so the
+    output is pair-identical; precision is exact by construction."""
+    from filter_vectordb_spark.operators.dedup import embedding_near_dup_bucketed
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return embedding_near_dup_bucketed(
+        load_table(spark, "embeddings", sf_dir), tau=0.45
+    )
+
+
 # -------------------------------------------------- LLM-pipeline: multimodal
 
 
@@ -1035,9 +1134,33 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_histogram_long(media, fake_decode=True)
 
 
-@register("media_frame_sample")  # rows-only
+@register(
+    "media_frame_sample",
+    """
+WITH m AS (
+  SELECT doc_id AS id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT id, hx, CAST(fi AS INT) AS frame,
+         GREATEST(n // 4, 1) * fi AS off,
+         LEAST(GREATEST(n // 4, 1), GREATEST(n - GREATEST(n // 4, 1) * fi, 0)) AS len
+  FROM m, unnest(range(4)) t(fi)
+),
+b AS (
+  SELECT id, frame, len,
+         (strpos('0123456789ABCDEF', substr(hx, CAST(2 * (off + j) + 1 AS INT), 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * (off + j) + 2 AS INT), 1)) - 1) AS byte
+  FROM fr, unnest(range(len)) t(j)
+  WHERE len > 0
+)
+SELECT id, frame, CAST(any_value(len) AS BIGINT) AS n_bytes, CAST(sum(byte) AS BIGINT) AS byte_sum
+FROM b GROUP BY 1, 2
+""",
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-chunk frame sampling over binary payloads (stub keyframes)."""
+    """Video-chunk frame sampling over binary payloads (stub keyframes);
+    the oracle reproduces the byte chunking off the payload's hex form."""
     from filter_vectordb_spark.operators.multimodal import media_table, sample_frames
     from filter_vectordb_spark.sources.tables import load_table
 

@@ -179,3 +179,30 @@ def test_lang_id_deterministic_and_total(spark, docs):
     p2 = predict_lang(docs, profiles).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert p1.equals(p2)
     assert len(p1) == docs.count()  # every doc classified
+
+
+def test_embedding_near_dup_bucketed_scale_path(spark):
+    """Bucket-then-verify near-dup: precision must be exact (subset of
+    brute force), candidate recall high, on data with planted near-dups."""
+    import numpy as np
+
+    from filter_vectordb_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_bucketed,
+    )
+
+    rng = np.random.RandomState(5)
+    V = rng.normal(size=(200, 16))
+    for i in range(20):  # planted near-duplicates
+        V[100 + i] = V[i] + rng.normal(scale=0.05, size=16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(V)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    brute = embedding_near_dup(df, 0.8).toPandas()
+    bucketed = embedding_near_dup_bucketed(df, 0.8).toPandas()
+    bset = set(map(tuple, brute[["id_a", "id_b"]].to_numpy()))
+    kset = set(map(tuple, bucketed[["id_a", "id_b"]].to_numpy()))
+    assert kset <= bset  # exact precision: every emitted pair is verified
+    assert len(bset) >= 20
+    assert len(kset) / len(bset) >= 0.9  # candidate recall
