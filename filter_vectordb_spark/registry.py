@@ -1256,6 +1256,37 @@ def binfmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("binfmt_fetch_roundtrip", ORACLES["binfmt_roundtrip"])
+def binfmt_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + S1: stage the uint8 base as a .u8bin artifact once per sf_dir,
+    FETCH it through the remote-artifact path (file:// URL — the same
+    code path as http, `filter/faiss/faiss.py:195-206` lifecycle), then
+    chunk-read distributed and checksum each row."""
+    import os
+
+    from filter_vectordb_spark.sources.binfmt import write_dense_bin_distributed
+    from filter_vectordb_spark.sources.fetch import fetch_dense_bin
+    from filter_vectordb_spark.sources.vectors import dense_vectors_uint8
+
+    out = _index_cache_dir(sf_dir, "u8bin_artifact")
+    src = os.path.join(out, "base.u8bin")
+    if not os.path.exists(src):
+        os.makedirs(out, exist_ok=True)
+        tmp = src + ".stage"
+        write_dense_bin_distributed(dense_vectors_uint8(spark, sf_dir), tmp, "u8bin")
+        os.rename(tmp, src)
+    dest = os.path.join(out, "fetched.u8bin")
+    df = fetch_dense_bin(spark, f"file://{src}", dest, "u8bin", rows_per_chunk=256)
+    return df.select(
+        "id",
+        F.aggregate(
+            F.col("emb"),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v.cast("long"),
+        ).alias("emb_sum"),
+    )
+
+
 @register("lsh_cosine_knn")  # approximate — recall-tested in tests/, rows-only here
 def lsh_cosine_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed cosine ANN (bucket-join then exact rescore);
