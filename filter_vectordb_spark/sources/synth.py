@@ -66,7 +66,13 @@ def synth_uint8_base(
 def synth_queries(spark: SparkSession, nq: int = SCALE_NQ, d: int = SCALE_D) -> DataFrame:
     """(qid, qemb, qtags) — the first nq base vectors with the 2-tag
     conjunction [coarse, mid] (selectivity 1/70, the yfcc-style 1-2 tag
-    regime)."""
+    regime).
+
+    Generated through the same partition-parallel kernel as the base
+    (a driver-side closed-form pandas + createDataFrame variant measured
+    SLOWER: uploading 8k×192 array rows through py4j costs more than the
+    mapInPandas generation job).
+    """
     q = synth_uint8_base(spark, nq, d)
     return q.select(
         F.col("id").alias("qid"),
