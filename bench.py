@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "sparse_csr_roundtrip",
     "streaming_clustered_replay",
     "filtered_knn_100k",
+    "sparse_mips_100k",
     "events_hourly_stream",
     # embedding_near_dup_lsh is correctness-gated but not benched: at
     # τ=0.45 hyperplane buckets barely prune (63° pairs collide in most
@@ -88,6 +89,7 @@ def main() -> None:
         "tag_pair_partition_knn",
         "filtered_knn_100k",
         "streaming_clustered_replay",
+        "sparse_mips_100k",
     ):
         registry.QUERIES[warm](spark, sf_dir).count()
 

@@ -63,6 +63,61 @@ def synth_uint8_base(
     return base.withColumn("tags", tags).withColumn("sig", sig_from_tags(tags))
 
 
+SPARSE_N = 100_000
+SPARSE_VOCAB = 30_000
+SPARSE_NNZ = 50
+SPARSE_NQ = 1_024
+SPARSE_Q_NNZ = 20
+
+
+def synth_sparse_terms(
+    spark: SparkSession,
+    n: int = SPARSE_N,
+    vocab: int = SPARSE_VOCAB,
+    nnz: int = SPARSE_NNZ,
+) -> DataFrame:
+    """(id, term, w) — deterministic SPLADE-shaped sparse corpus: ~nnz
+    integer-weighted terms per doc over a `vocab`-sized dimension space
+    (the sparse track's scale regime, BASELINE row 2).  Closed-form
+    values; collisions within a doc merge by summing weights, mirroring
+    term-frequency accumulation."""
+
+    def gen(it):
+        import pandas as pd
+
+        js = np.arange(nnz, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            t = (ids[:, None] * _K1 + js[None, :] * js[None, :] * _K2) % vocab
+            w = (ids[:, None] + js[None, :]) % 7 + 1
+            out = pd.DataFrame(
+                {
+                    "id": np.repeat(ids, nnz),
+                    "term": t.ravel(),
+                    "w": w.ravel(),
+                }
+            )
+            yield out.groupby(["id", "term"], as_index=False)["w"].sum()
+
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema="id BIGINT, term BIGINT, w BIGINT")
+    )
+
+
+def synth_sparse_queries(
+    spark: SparkSession,
+    nq: int = SPARSE_NQ,
+    vocab: int = SPARSE_VOCAB,
+    nnz: int = SPARSE_Q_NNZ,
+) -> DataFrame:
+    """(qid, term, w) — the first nq docs truncated to their heaviest-index
+    prefix (nnz terms), the standing sparse query batch."""
+    q = synth_sparse_terms(spark, nq, vocab, nnz)
+    return q.select(F.col("id").alias("qid"), "term", "w")
+
+
 def synth_queries(spark: SparkSession, nq: int = SCALE_NQ, d: int = SCALE_D) -> DataFrame:
     """(qid, qemb, qtags) — the first nq base vectors with the 2-tag
     conjunction [coarse, mid] (selectivity 1/70, the yfcc-style 1-2 tag

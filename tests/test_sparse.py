@@ -72,3 +72,24 @@ def test_scores_positive_and_ranked(spark, qterms, dterms):
     for _, grp in res.groupby("qid"):
         s = grp.sort_values("rank")["score"].to_numpy()
         assert (s[:-1] >= s[1:]).all()
+
+
+def test_synth_sparse_deterministic_and_shaped(spark):
+    """The 100k-scale synth corpus (sparse_mips_100k's input) is closed-form:
+    same rows on every call, terms within vocab, weights in [1,7], and the
+    query batch is a per-doc subset of the corpus rows."""
+    from filter_vectordb_spark.sources.synth import (
+        synth_sparse_queries,
+        synth_sparse_terms,
+    )
+
+    a = synth_sparse_terms(spark, n=500, vocab=1000, nnz=10)
+    b = synth_sparse_terms(spark, n=500, vocab=1000, nnz=10)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    stats = a.agg(
+        F.max("term").alias("tmax"), F.min("w").alias("wmin"), F.max("w").alias("wmax")
+    ).first()
+    assert stats.tmax < 1000 and 1 <= stats.wmin and stats.wmax <= 7
+    q = synth_sparse_queries(spark, nq=8, vocab=1000, nnz=4)
+    corpus_rows = a.select(F.col("id").alias("qid"), "term")
+    assert q.select("qid", "term").exceptAll(corpus_rows).count() == 0
