@@ -695,6 +695,41 @@ def ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_adc_knn",
+    ORACLES["knn_l2"],
+)
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search + exact rescore — the memory-scale
+    path for dense ANN (the reference's DiskANN PQ knobs,
+    `ood/diskann/diskann-in-mem.py:90-92`, realized as Spark tables).
+    Codes table built once per sf_dir (32 B/vector, 8× vs float32) and
+    served from the lake; the full-corpus pass reads CODES ONLY, then
+    nq×128 survivors are exactly rescored — equal to brute-force k-NN
+    whenever the true top-k survive the cut (pinned in tests/test_pq.py
+    with margin: refine=64 already achieves recall 1.0 on the fixtures),
+    hence the plain k-NN oracle."""
+    from filter_vectordb_spark.index.pq import (
+        encode_pq,
+        load_pq,
+        pq_adc_search,
+        save_pq,
+        train_pq,
+    )
+
+    q = dense_queries(spark, sf_dir)
+    out = _index_cache_dir(sf_dir, "pq32x64")
+    if not _is_built(f"{out}/codes", f"{out}/codebooks"):
+        base = dense_vectors(spark, sf_dir).select("id", "emb")
+        cb = train_pq(base, nsub=32, ksub=64)
+        save_pq(encode_pq(base, cb), cb, out)
+    codes, cb = load_pq(spark, out)
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    return pq_adc_search(q, codes, cb, base, 10, refine=128).select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
     "tag_partition_knn",
     f"""
 WITH {_B},

@@ -1,0 +1,118 @@
+"""Product-quantization index tests (index/pq.py).
+
+Methodology mirrors the reference's recall-vs-config measurement (SURVEY.md
+§5): the approximate cut is measured against the in-engine exact plan, and
+the composed ADC+rescore plan is pinned EQUAL to exact k-NN at the refine
+the registry uses (margin test: recall 1.0 already at refine=64, registry
+runs 128)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from filter_vectordb_spark.index.pq import (
+    _lloyd,
+    adc_scores,
+    encode_pq,
+    load_pq,
+    pq_adc_search,
+    save_pq,
+    train_pq,
+)
+from filter_vectordb_spark.operators.knn import knn_join
+from filter_vectordb_spark.operators.topk import per_group_topk
+from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+from tests.conftest import SF_DIR
+
+K = 10
+NSUB, KSUB = 32, 64
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return dense_vectors(spark, SF_DIR).select("id", "emb")
+
+
+@pytest.fixture(scope="module")
+def codebooks(base):
+    return train_pq(base, nsub=NSUB, ksub=KSUB)
+
+
+@pytest.fixture(scope="module")
+def codes(base, codebooks):
+    return encode_pq(base, codebooks).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, base):
+    q = dense_queries(spark, SF_DIR)
+    return knn_join(q, base, K).select("qid", "rank", "id")
+
+
+def test_training_is_deterministic(base):
+    a = train_pq(base, nsub=NSUB, ksub=KSUB)
+    b = train_pq(base, nsub=NSUB, ksub=KSUB)
+    assert np.array_equal(a, b)
+    assert a.shape == (NSUB, KSUB, 64 // NSUB)
+
+
+def test_lloyd_handles_fewer_points_than_clusters():
+    X = np.arange(6, dtype=np.float64).reshape(3, 2)
+    C = _lloyd(X, 5, iters=3)
+    assert C.shape == (5, 2) and np.isfinite(C).all()
+
+
+def test_encode_shape_and_range(codes):
+    pdf = codes.toPandas()
+    M = np.stack(pdf["codes"].to_numpy())
+    assert M.shape[1] == NSUB
+    assert M.min() >= 0 and M.max() < KSUB
+    # one code row per base row, codes deterministic across invocations
+    assert pdf["id"].is_unique
+
+
+def test_adc_cut_recall_margin(spark, codes, codebooks, exact):
+    """The registry's correctness story: true top-k survive the ADC cut
+    with margin — recall 1.0 already at refine=64 (registry uses 128)."""
+    q = dense_queries(spark, SF_DIR)
+    scored = adc_scores(q, codes, codebooks, refine=64)
+    cut = per_group_topk(
+        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], 64
+    ).select("qid", "id")
+    missed = exact.select("qid", "id").exceptAll(cut).count()
+    assert missed == 0
+
+
+def test_adc_rescore_equals_exact(spark, base, codes, codebooks, exact):
+    q = dense_queries(spark, SF_DIR)
+    res = pq_adc_search(q, codes, codebooks, base, K, refine=128).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0
+    assert exact.exceptAll(res).count() == 0
+
+
+def test_save_load_roundtrip(tmp_path, spark, base, codes, codebooks, exact):
+    out = str(tmp_path / "pq")
+    save_pq(codes, codebooks, out)
+    codes2, cb2 = load_pq(spark, out)
+    assert np.array_equal(cb2, codebooks)
+    q = dense_queries(spark, SF_DIR)
+    res = pq_adc_search(q, codes2, cb2, base, K, refine=128).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0
+
+
+def test_full_refine_is_exact_regardless_of_quantization(spark, base, codes, codebooks, exact):
+    """refine ≥ n degrades to exact brute force no matter how bad the
+    codebook is — the oracle-checkable configuration (IVF full-probe
+    analog)."""
+    n = base.count()
+    q = dense_queries(spark, SF_DIR)
+    res = pq_adc_search(q, codes, codebooks, base, K, refine=int(n)).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0
