@@ -992,6 +992,30 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "streaming_dedup",
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         {duckdb_char_hash_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")} AS group_key
+  FROM documents),
+f AS (SELECT group_key, min(doc_id) AS first_id FROM k GROUP BY group_key)
+SELECT k.doc_id, k.group_key, f.first_id
+FROM k JOIN f USING (group_key)
+WHERE k.doc_id <> f.first_id
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the documents table driven through
+    readStream → applyInPandasWithState (per-content-key first_id state)
+    → dup-link emission.  Same normalized-content key as dedup_exact; the
+    fixture's single-microbatch replay makes arrival order = id order, so
+    the streamed links equal the batch min-per-key oracle exactly."""
+    from filter_vectordb_spark.streaming.dedup import run_dedup_links_to_memory
+
+    return run_dedup_links_to_memory(spark, sf_dir)
+
+
 @register("dedup_jaccard_pairs", _JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (τ=0.8) via shingle equi-join."""

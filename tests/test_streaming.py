@@ -214,3 +214,69 @@ def test_kmeans_labels_production_path(spark):
     assert len(lab) == base.count()
     assert lab["label"].nunique() <= 4
     assert set(lab.columns) >= {"id", "emb", "label"}
+
+
+def test_streaming_dedup_matches_batch_links(spark):
+    """Single-microbatch replay: streamed dup links == batch min-per-key."""
+    from filter_vectordb_spark.operators.dedup import exact_dedup
+    from filter_vectordb_spark.sources.tables import load_table
+    from filter_vectordb_spark.streaming.dedup import run_dedup_links_to_memory
+
+    links = run_dedup_links_to_memory(spark, SF_DIR, query_name="sd_batch_eq").toPandas()
+    batch = exact_dedup(load_table(spark, "documents", SF_DIR)).toPandas()
+    first = batch[batch["is_canonical"]].set_index("group_key")["doc_id"]
+    dups = batch[~batch["is_canonical"]]
+    expect = {
+        (int(r.doc_id), int(r.group_key), int(first[r.group_key]))
+        for r in dups.itertuples()
+    }
+    got = {tuple(map(int, row)) for row in links[["doc_id", "group_key", "first_id"]].values}
+    assert got == expect
+
+
+def test_streaming_dedup_demotes_on_out_of_order_arrival(spark, tmp_path):
+    """A smaller id arriving in a LATER microbatch demotes the standing
+    canonical: the old first is emitted as a link to the new min, so the
+    final link set still points at the per-key minimum that has arrived."""
+    import pandas as pd
+
+    from filter_vectordb_spark.streaming.dedup import (
+        dedup_links_stream,
+        read_documents_stream,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_docs(name, rows):
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+            src / name, index=False
+        )
+
+    # batch 1: ids 10, 11 share content; 20 is unique
+    write_docs("documents.parquet", [
+        (10, "alpha beta gamma", "en", "s", 16),
+        (11, "gamma beta alpha", "en", "s", 16),
+        (20, "delta epsilon", "en", "s", 13),
+    ])
+    stream = dedup_links_stream(read_documents_stream(spark, str(src), glob="*.parquet"))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sd_demote")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: id 5 has the shared content — older than the canonical 10
+        write_docs("documents2.parquet", [(5, "beta alpha gamma", "en", "s", 16)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT doc_id, first_id FROM sd_demote").toPandas()
+    links = {(int(a), int(b)) for a, b in out.values}
+    assert (11, 10) in links  # batch-1 link, not retracted
+    assert (10, 5) in links  # demotion link emitted in batch 2
+    assert all(d != 20 for d, _ in links)  # unique doc never linked
