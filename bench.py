@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "streaming_replay",
     "ivf_full_probe",
     "pq_adc_knn",
+    "ivfpq_knn",
     "tag_partition_knn",
     "dedup_exact",
     "dedup_jaccard_pairs",
@@ -56,6 +57,7 @@ BENCH_QUERIES = [
     "tag_pair_doc_freq",
     "token_stats_bpe",
     "dedup_filtered_corpus",
+    "corpus_split",
     "filtered_knn_sig",
     "tag_pair_partition_knn",
     "sparse_csr_roundtrip",
@@ -88,6 +90,7 @@ def main() -> None:
     for warm in (
         "ivf_full_probe",
         "pq_adc_knn",
+        "ivfpq_knn",
         "tag_partition_knn",
         "lsh_cosine_knn",
         "lang_id_ngram",

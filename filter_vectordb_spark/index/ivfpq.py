@@ -1,0 +1,168 @@
+"""IVF+PQ composed index — partition pruning over compressed-domain scan.
+
+This is the architecture of the reference's faiss index family
+(`filter/faiss/faiss.py:133` uses `IVF16384,SQ8`; swap the scalar
+quantizer for the product quantizer and you have faiss's classic
+`IVFx,PQy`): a coarse k-means partitioner prunes WHICH rows are scanned
+(IVF, index/ivf.py), and product-quantized codes decide HOW CHEAPLY each
+surviving row is scored (PQ, index/pq.py).  The two compose as tables:
+
+  build  = IVF assignment (id → centroid_id)  ⋈  PQ codes (id → codes)
+           written `partitionBy("centroid_id")` — probing IS partition
+           pruning, and within a probed partition only the ~nsub-byte
+           codes column is read.
+  search = rank centroids per query (driver-side — the centroid table is
+           nlist rows), broadcast the (qid, centroid_id) probe pairs
+           against the partitioned codes table, ADC-score the survivors
+           row-wise (each row carries its qid from the probe join), cut
+           to `refine` per query, exact-rescore survivors only.
+
+Scale posture (100 TB): the scan stage reads `nprobe/nlist` of the CODES
+of the corpus — both pruning factors multiply (at nlist=16k, nprobe=32,
+nsub=32: 1/500 of the rows × 1/32 of the bytes ≈ 6e-5 of the raw scan).
+Exactness: nprobe = nlist degrades to the PQ-only plan (probe everything)
+whose cut recall is margin-tested, and the final rescore is exact — the
+oracle-checkable configuration; smaller nprobe trades recall for scan
+fraction (recall curve pinned in tests/test_pq.py, the reference's
+recall-vs-QPS methodology).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.operators.knn import pairwise_l2_scores
+from filter_vectordb_spark.operators.topk import per_group_topk
+
+
+def build_ivfpq(
+    base: DataFrame, nlist: int, nsub: int, ksub: int
+) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Returns (entries, centroids, codebooks): entries = (id, centroid_id,
+    codes) — the one table both pruning structures live in."""
+    from filter_vectordb_spark.index.ivf import build_ivf
+    from filter_vectordb_spark.index.pq import encode_pq, train_pq
+
+    assignments, centroids = build_ivf(base, nlist)
+    codebooks = train_pq(base, nsub=nsub, ksub=ksub)
+    codes = encode_pq(base, codebooks)
+    entries = assignments.select("id", "centroid_id").join(codes, "id")
+    return entries, centroids, codebooks
+
+
+def save_ivfpq(
+    entries: DataFrame, centroids: DataFrame, codebooks: np.ndarray, out_dir: str
+) -> None:
+    """S5 save: entries partitioned by centroid_id (probe = partition
+    pruning), tiny centroid + codebook tables alongside."""
+    from filter_vectordb_spark.index.pq import save_pq
+
+    entries.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{out_dir}/entries"
+    )
+    centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    # reuse the PQ codebook layout; the codes table inside save_pq is not
+    # needed here (entries carries the codes), so save only the codebooks
+    spark = entries.sparkSession
+    nsub, ksub, _ = codebooks.shape
+    rows = [
+        (s, c, [float(x) for x in codebooks[s, c]])
+        for s in range(nsub)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "sub INT, cid INT, center ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+
+
+def load_ivfpq(spark: SparkSession, out_dir: str):
+    entries = spark.read.parquet(f"{out_dir}/entries")
+    centroids = spark.read.parquet(f"{out_dir}/centroids")
+    cpdf = spark.read.parquet(f"{out_dir}/codebooks").toPandas()
+    nsub = int(cpdf["sub"].max()) + 1
+    ksub = int(cpdf["cid"].max()) + 1
+    dsub = len(cpdf["center"].iloc[0])
+    cb = np.empty((nsub, ksub, dsub), dtype=np.float64)
+    for _, r in cpdf.iterrows():
+        cb[int(r["sub"]), int(r["cid"])] = np.asarray(r["center"])
+    return entries, centroids, cb
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    entries: DataFrame,
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    base: DataFrame,
+    k: int,
+    nprobe: int,
+    refine: int,
+    q_id: str = "qid",
+    q_vec: str = "qemb",
+) -> DataFrame:
+    """Probe `nprobe` lists per query, ADC-score only their codes, cut to
+    `refine`, exact-rescore survivors.  Returns (qid, id, dist, rank)."""
+    cpdf = centroids.toPandas()  # nlist rows — tiny by construction
+    C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+    cids = cpdf["centroid_id"].to_numpy()
+    qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
+    qids_np = qpdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+
+    # rank centroids per query (nq × nlist, driver-side like ivf_search)
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1)[:, :nprobe]
+    pairs = [
+        (int(qid), int(cids[j])) for qid, row in zip(qpdf["qid"], order) for j in row
+    ]
+    spark = queries.sparkSession
+    probe = spark.createDataFrame(pairs, "qid BIGINT, centroid_id INT")
+
+    # ADC lookup tables, one per query (nq × nsub × ksub — kilobytes)
+    nsub, ksub, dsub = codebooks.shape
+    LUT = np.empty((len(Q), nsub, ksub), dtype=np.float64)
+    for s in range(nsub):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        LUT[:, s, :] = (
+            (Qs * Qs).sum(axis=1)[:, None]
+            - 2.0 * (Qs @ codebooks[s].T)
+            + (codebooks[s] * codebooks[s]).sum(axis=1)[None, :]
+        )
+    qpos = {int(q): i for i, q in enumerate(qids_np)}
+
+    # partition pruning: only probed lists are scanned, codes column only
+    cand = entries.join(F.broadcast(probe), "centroid_id").select("qid", "id", "codes")
+
+    def adc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (nb, nsub)
+            qi = pdf["qid"].map(qpos).to_numpy(dtype=np.int64)
+            D = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(nsub):
+                D += LUT[qi, s, M[:, s]]
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "adist": D,
+                }
+            )
+
+    scored = cand.mapInPandas(adc, schema="qid long, id long, adist double")
+    cut = per_group_topk(
+        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], refine
+    ).select("qid", "id")
+    b = base.select("id", "emb")
+    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
+    pairs_df = b.join(F.broadcast(cut), "id").join(F.broadcast(q), "qid")
+    exact = pairwise_l2_scores(pairs_df)
+    return per_group_topk(
+        exact, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")

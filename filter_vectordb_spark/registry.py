@@ -730,6 +730,37 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivfpq_knn",
+    ORACLES["knn_l2"],
+)
+def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index (the faiss `IVFx,PQy` architecture as lake
+    tables): coarse partitioner prunes WHICH rows are scanned, PQ codes
+    decide HOW CHEAPLY; built once per sf_dir, probed full (nprobe=nlist)
+    with exact rescore — the oracle-checkable configuration.  Partial
+    nprobe recall curve pinned in tests/test_pq.py."""
+    from filter_vectordb_spark.index.ivfpq import (
+        build_ivfpq,
+        ivfpq_search,
+        load_ivfpq,
+        save_ivfpq,
+    )
+
+    q = dense_queries(spark, sf_dir)
+    nlist = 16
+    out = _index_cache_dir(sf_dir, "ivfpq16_32x64")
+    if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/codebooks"):
+        base = dense_vectors(spark, sf_dir).select("id", "emb")
+        entries, centroids, cb = build_ivfpq(base, nlist=nlist, nsub=32, ksub=64)
+        save_ivfpq(entries, centroids, cb, out)
+    entries, centroids, cb = load_ivfpq(spark, out)
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    return ivfpq_search(
+        q, entries, centroids, cb, base, 10, nprobe=nlist, refine=128
+    ).select("qid", "rank", "id")
+
+
+@register(
     "tag_partition_knn",
     f"""
 WITH {_B},
@@ -1014,6 +1045,32 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filter_vectordb_spark.streaming.dedup import run_dedup_links_to_memory
 
     return run_dedup_links_to_memory(spark, sf_dir)
+
+
+@register(
+    "corpus_split",
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         {duckdb_char_hash_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")} AS group_key
+  FROM documents)
+SELECT doc_id, group_key,
+       CAST((group_key % 2147483647) * 48271 % 2147483647 % 100 AS INT) AS slot,
+       CASE WHEN (group_key % 2147483647) * 48271 % 2147483647 % 100 < 80 THEN 'train'
+            WHEN (group_key % 2147483647) * 48271 % 2147483647 % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM k
+""",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 train/valid/test split: slot = mixed content
+    key mod 100, so duplicate groups (same normalized content) never
+    straddle a split boundary.  Pure codegen'd expression — zero
+    exchanges at any scale."""
+    from filter_vectordb_spark.operators.split import assign_splits
+    from filter_vectordb_spark.sources.tables import load_table
+
+    return assign_splits(load_table(spark, "documents", sf_dir))
 
 
 @register("dedup_jaccard_pairs", _JACCARD_ORACLE)

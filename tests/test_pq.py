@@ -116,3 +116,61 @@ def test_full_refine_is_exact_regardless_of_quantization(spark, base, codes, cod
         "qid", "rank", "id"
     )
     assert res.exceptAll(exact).count() == 0
+
+
+# ---------------------------------------------------------------- IVF+PQ
+
+
+@pytest.fixture(scope="module")
+def ivfpq(base):
+    from filter_vectordb_spark.index.ivfpq import build_ivfpq
+
+    return build_ivfpq(base, nlist=8, nsub=NSUB, ksub=KSUB)
+
+
+def test_ivfpq_full_probe_equals_exact(spark, base, ivfpq, exact):
+    from filter_vectordb_spark.index.ivfpq import ivfpq_search
+
+    entries, centroids, cb = ivfpq
+    q = dense_queries(spark, SF_DIR)
+    res = ivfpq_search(q, entries, centroids, cb, base, K, nprobe=8, refine=128).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0
+    assert exact.exceptAll(res).count() == 0
+
+
+def test_ivfpq_recall_improves_with_nprobe(spark, base, ivfpq, exact):
+    """The reference's recall-vs-QPS methodology: recall@10 is monotone
+    non-decreasing in nprobe and high even at partial probe."""
+    from filter_vectordb_spark.index.ivfpq import ivfpq_search
+
+    entries, centroids, cb = ivfpq
+    q = dense_queries(spark, SF_DIR)
+    e = exact.select("qid", "id").toPandas()
+    eset = set(map(tuple, e.values))
+    recalls = []
+    for nprobe in (1, 4, 8):
+        res = ivfpq_search(
+            q, entries, centroids, cb, base, K, nprobe=nprobe, refine=128
+        ).select("qid", "id").toPandas()
+        got = set(map(tuple, res.values))
+        recalls.append(len(got & eset) / len(eset))
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0.3  # even 1/8 of the lists finds a solid fraction
+
+
+def test_ivfpq_save_load_roundtrip(tmp_path, spark, base, ivfpq, exact):
+    from filter_vectordb_spark.index.ivfpq import ivfpq_search, load_ivfpq, save_ivfpq
+
+    entries, centroids, cb = ivfpq
+    out = str(tmp_path / "ivfpq")
+    save_ivfpq(entries, centroids, cb, out)
+    e2, c2, cb2 = load_ivfpq(spark, out)
+    assert np.array_equal(cb2, cb)
+    q = dense_queries(spark, SF_DIR)
+    res = ivfpq_search(q, e2, c2, cb2, base, K, nprobe=8, refine=128).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0
