@@ -117,20 +117,34 @@ def tag_pair_knn(
     from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
 
     part = spark.read.parquet(out_dir)
-    avail = part.select("tag_a", "tag_b").distinct()  # partition listing
-    hit_q = queries.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_semi")
+    # The pair listing is bounded by the build threshold (≥ min_freq·n
+    # co-occurrence ⇒ at most ~1/min_freq · pairs-per-doc entries), so it
+    # is driver-material like the IVF centroid table; the query side is
+    # collected below anyway (cap-guarded).  Splitting hit/miss here
+    # avoids running the miss branch's full-corpus scan when every query
+    # has a pair view — at 100 TB that branch is the expensive one.
+    avail_pdf = part.select("tag_a", "tag_b").distinct().toPandas()
+    avail_set = set(zip(avail_pdf["tag_a"].astype(int), avail_pdf["tag_b"].astype(int)))
 
     # Score with per-pair BLAS blocks, not a candidate equi-join: joining
     # qemb onto every candidate row ships nq × |pair| duplicate query
     # vectors through Arrow (2 GB at the 100k benchmark); broadcasting the
     # grouped query matrices ships each once.  Per batch and pair:
     # X @ Q_pair.T, partial top-k per query — the W3 two-phase shape.
-    qpdf = hit_q.select("qid", "qemb", "tag_a", "tag_b").toPandas()
-    if len(qpdf) > MAX_BROADCAST_QUERIES:
+    qall = queries.select("qid", "qemb", "tag_a", "tag_b").toPandas()
+    if len(qall) > MAX_BROADCAST_QUERIES:
         raise ValueError(
-            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
+            f"query side has {len(qall)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
             "partition the query set and union the results"
         )
+    hit_mask = [
+        (int(a), int(b)) in avail_set
+        for a, b in zip(qall["tag_a"], qall["tag_b"])
+    ]
+    import pandas as pd
+
+    qpdf = qall[pd.Series(hit_mask, index=qall.index)]
+    miss_pdf = qall[~pd.Series(hit_mask, index=qall.index)]
     by_pair: dict = {}
     for pair, grp in qpdf.groupby(["tag_a", "tag_b"]):
         by_pair[(int(pair[0]), int(pair[1]))] = (
@@ -179,8 +193,12 @@ def tag_pair_knn(
                     }
                 )
 
-    hit_pairs = avail.join(
-        F.broadcast(hit_q.select("tag_a", "tag_b").distinct()), ["tag_a", "tag_b"]
+    # base-side pruning stays a broadcast JOIN on the partition columns
+    # (partition pruning via dynamic filter), never a literal IN-list
+    hit_pairs = spark.createDataFrame(
+        sorted({(int(a), int(b)) for a, b in zip(qpdf["tag_a"], qpdf["tag_b"])})
+        or [(-1, -1)],
+        "tag_a INT, tag_b INT",
     )
     pruned = part.join(F.broadcast(hit_pairs), ["tag_a", "tag_b"])
     scored = pruned.select("tag_a", "tag_b", "id", "emb").mapInPandas(
@@ -189,11 +207,18 @@ def tag_pair_knn(
     hits = per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")
-    if base is None:
+    if base is None or len(miss_pdf) == 0:
         return hits
-    miss_q = queries.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_anti").select(
-        "qid", "qemb", F.array("tag_a", "tag_b").alias("qtags")
-    )
+    miss_q = queries.join(
+        F.broadcast(
+            spark.createDataFrame(
+                sorted({(int(a), int(b)) for a, b in zip(miss_pdf["tag_a"], miss_pdf["tag_b"])}),
+                "tag_a INT, tag_b INT",
+            )
+        ),
+        ["tag_a", "tag_b"],
+        "left_semi",
+    ).select("qid", "qemb", F.array("tag_a", "tag_b").alias("qtags"))
     misses = filtered_knn_sig_expr(miss_q, base, k).select("qid", "id", "dist", "rank")
     return hits.unionByName(misses)
 
