@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "tpch_q6_forecast",
     "events_hourly",
     "events_sessionize",
+    "events_asof_join",
     "streaming_replay",
     "ivf_full_probe",
     "pq_adc_knn",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "token_stats_bpe",
     "dedup_filtered_corpus",
     "corpus_split",
+    "corpus_token_quantiles",
     "filtered_knn_sig",
     "tag_pair_partition_knn",
     "sparse_csr_roundtrip",

@@ -525,6 +525,50 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir)
 
 
+@register(
+    "events_asof_join",
+    """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+         c.event_id AS click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT purchase_id, user_id, purchase_us, click_id FROM j WHERE rn = 1
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's latest click
+    at or before it (NULL when none).  Spark side is the union+window
+    plan (one shuffle, sort-merge per key — no per-key quadratic join);
+    the oracle spells out the rank-1 pick because DuckDB's native ASOF
+    JOIN leaves the equal-ts winner unspecified."""
+    from filter_vectordb_spark.operators.asof import asof_join
+    from filter_vectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_id="event_id",
+        right_id="click_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        "click_id",
+    )
+
+
 # --------------------------------------------------------- streaming replay (ST1-ST6)
 
 
@@ -1071,6 +1115,40 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filter_vectordb_spark.sources.tables import load_table
 
     return assign_splits(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "corpus_token_quantiles",
+    f"""
+WITH t AS (SELECT lang, len({_TOKS}) AS n_tokens FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       quantile_cont(n_tokens, 0.25) AS p25,
+       quantile_cont(n_tokens, 0.50) AS p50,
+       quantile_cont(n_tokens, 0.75) AS p75
+FROM t GROUP BY lang
+""",
+)
+def corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT token-count quantiles — corpus length profiling
+    for pipeline QA.  Uses Spark's exact `percentile` (not
+    percentile_approx: its t-digest differs from DuckDB's) — both engines
+    linear-interpolate at (n−1)·q, and dyadic q over integer counts makes
+    the interpolated values exact binary fractions, hence hash-stable.
+    Exact percentile sorts within each group — per-group cost, fine while
+    groups fit a partition; at larger scale switch to approx and declare
+    rows-only."""
+    from filter_vectordb_spark.functions.text import tokens
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("lang", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_tokens", F.lit(0.25)).alias("p25"),
+        F.percentile("n_tokens", F.lit(0.50)).alias("p50"),
+        F.percentile("n_tokens", F.lit(0.75)).alias("p75"),
+    )
 
 
 @register("dedup_jaccard_pairs", _JACCARD_ORACLE)
