@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessionize",
     "events_asof_join",
+    "signup_click_conversion",
     "streaming_replay",
     "ivf_full_probe",
     "pq_adc_knn",
@@ -60,6 +61,7 @@ BENCH_QUERIES = [
     "dedup_filtered_corpus",
     "corpus_split",
     "corpus_token_quantiles",
+    "corpus_stratified_sample",
     "filtered_knn_sig",
     "tag_pair_partition_knn",
     "sparse_csr_roundtrip",

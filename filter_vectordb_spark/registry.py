@@ -1151,6 +1151,89 @@ def corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "signup_click_conversion",
+    """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT s.event_id AS signup_id, s.user_id,
+       CAST(epoch_us(s.ts) AS BIGINT) AS signup_us,
+       count(c.ts) AS n_clicks_24h
+FROM s LEFT JOIN c
+  ON c.user_id = s.user_id AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 24 HOURS
+GROUP BY 1, 2, 3
+""",
+)
+def signup_click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: same-user clicks within 24 h after each signup.  With an
+    equi-key (user_id) the band predicate rides a plain sort-merge join —
+    one shuffle per side, band filter evaluated within the key group; a
+    band join WITHOUT an equi-key must be binned first (join on
+    time-bucket, then filter) or Spark falls back to a nested-loop plan."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    j = s.join(
+        c,
+        (s["user_id"] == c["c_uid"])
+        & (c["c_ts"] >= s["s_ts"])
+        & (c["c_ts"] < s["s_ts"] + F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    return j.groupBy("signup_id", "user_id", "s_ts").agg(
+        F.count("c_ts").alias("n_clicks_24h")
+    ).select(
+        "signup_id",
+        "user_id",
+        F.unix_micros(F.col("s_ts")).alias("signup_us"),
+        "n_clicks_24h",
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         {duckdb_char_hash_sql("array_to_string(list_sort(list_distinct(" + _TOKS + ")), ' ')")} AS group_key
+  FROM documents)
+SELECT doc_id, lang FROM k
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY (group_key % 2147483647) * 48271 % 2147483647, doc_id) <= 32
+""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 32 docs per language, ordered by
+    the mixed content hash — reproducible across runs/partitionings (no
+    RNG), and content-keyed so resampling after ingest keeps prior picks
+    stable.  One shuffle (the per-lang window)."""
+    from pyspark.sql import Window
+
+    from filter_vectordb_spark.functions.text import HASH_P
+    from filter_vectordb_spark.operators.split import content_key
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = docs.select(
+        "doc_id", "lang", content_key(F.col("text")).alias("group_key")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("group_key") % HASH_P) * 48271 % HASH_P, F.col("doc_id")
+    )
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .select("doc_id", "lang")
+    )
+
+
 @register("dedup_jaccard_pairs", _JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (τ=0.8) via shingle equi-join."""
