@@ -61,6 +61,47 @@ def build_ivf(base: DataFrame, nlist: int, seed: int = 42):
     return assignments, centroids
 
 
+def ivf_insert(
+    assignments: DataFrame, centroids: DataFrame, new_rows: DataFrame
+) -> DataFrame:
+    """Streaming-insert path: assign NEW vectors to the EXISTING centroids
+    (no refit — the reference's streaming track inserts into a built index
+    without retraining, `streaming/base.py:5-31` insert contract) and
+    append to the assignment table.  Returns the updated assignments.
+
+    One Arrow pass over the new rows with the centroid matrix riding the
+    closure (nlist × d floats — kilobytes); no shuffle: on a lake layout
+    the append lands as new files inside each centroid partition.
+    Full-probe search over the result is still exactly brute force, so
+    the maintained index stays oracle-checkable."""
+    import pandas as pd
+
+    cpdf = centroids.toPandas()  # nlist rows — tiny
+    C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+    cids = cpdf["centroid_id"].to_numpy(dtype=np.int64)
+    cn = (C * C).sum(axis=1)
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            D = cn[None, :] - 2.0 * (X @ C.T)  # ‖x‖² constant per row
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "emb": pdf["emb"],
+                    "centroid_id": cids[D.argmin(axis=1)].astype(np.int32),
+                }
+            )
+
+    emb_type = dict(new_rows.dtypes)["emb"]
+    new_assigned = new_rows.select("id", "emb").mapInPandas(
+        assign, schema=f"id long, emb {emb_type}, centroid_id int"
+    )
+    return assignments.select("id", "emb", "centroid_id").unionByName(new_assigned)
+
+
 def save_ivf(assignments: DataFrame, centroids: DataFrame, out_dir: str) -> None:
     """S5 index save: persist the IVF as lake tables — assignments
     partitioned by centroid_id (so probes become partition pruning,

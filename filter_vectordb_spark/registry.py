@@ -774,6 +774,31 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_incremental_search",
+    ORACLES["knn_l2"],
+)
+def ivf_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance: IVF built on the first 3/4 of the base, the rest
+    INSERTED by nearest-centroid assignment (no refit — the streaming
+    insert contract), then full-probe searched.  Full probe over the
+    maintained table is exactly brute force over the whole base, so the
+    plain k-NN oracle checks that inserts neither lose nor duplicate
+    rows."""
+    from filter_vectordb_spark.index.ivf import build_ivf, ivf_insert, ivf_search
+
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    n = base.count()
+    cut = (3 * n) // 4
+    nlist = 16
+    assignments, centroids = build_ivf(base.filter(F.col("id") < cut), nlist)
+    merged = ivf_insert(assignments, centroids, base.filter(F.col("id") >= cut))
+    q = dense_queries(spark, sf_dir)
+    return ivf_search(q, merged, centroids, 10, nprobe=nlist).select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
     "ivfpq_knn",
     ORACLES["knn_l2"],
 )

@@ -174,3 +174,57 @@ def test_ivfpq_save_load_roundtrip(tmp_path, spark, base, ivfpq, exact):
         "qid", "rank", "id"
     )
     assert res.exceptAll(exact).count() == 0
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def test_adc_scan_reads_codes_only(spark, codes, codebooks):
+    """The ADC pass must scan (id, codes) — never the float vectors."""
+    import tempfile
+
+    from filter_vectordb_spark.plans.audit import physical_plan
+
+    out = tempfile.mkdtemp(prefix="pq_plan_")
+    codes.write.mode("overwrite").parquet(out)
+    q = dense_queries(spark, SF_DIR)
+    scored = adc_scores(q, spark.read.parquet(out), codebooks, refine=64)
+    scan = [ln for ln in physical_plan(scored).splitlines() if "ReadSchema" in ln][0]
+    assert "codes" in scan and "emb" not in scan, scan
+
+
+def test_ivfpq_probe_prunes_partitions(spark, base, ivfpq, tmp_path):
+    """Probing must reach the entries scan as a partition filter (static
+    or dynamic) — the 'probe = partition pruning' contract."""
+    from filter_vectordb_spark.index.ivfpq import ivfpq_search, load_ivfpq, save_ivfpq
+    from filter_vectordb_spark.plans.audit import assert_partition_pruned
+
+    entries, centroids, cb = ivfpq
+    out = str(tmp_path / "ivfpq_plan")
+    save_ivfpq(entries, centroids, cb, out)
+    e2, c2, cb2 = load_ivfpq(spark, out)
+    q = dense_queries(spark, SF_DIR)
+    res = ivfpq_search(q, e2, c2, cb2, base, K, nprobe=2, refine=64)
+    assert_partition_pruned(res)
+
+
+# ------------------------------------------------------- IVF incremental
+
+
+def test_ivf_insert_assigns_to_nearest_existing_centroid(spark, base):
+    from filter_vectordb_spark.index.ivf import build_ivf, ivf_insert
+
+    n = base.count()
+    cut = (3 * n) // 4
+    assignments, centroids = build_ivf(base.filter(F.col("id") < cut), 8)
+    merged = ivf_insert(assignments, centroids, base.filter(F.col("id") >= cut))
+    assert merged.count() == n
+    assert merged.select("id").distinct().count() == n
+    # inserted rows: centroid must be the argmin over existing centroids
+    cpdf = centroids.toPandas()
+    C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
+    cids = cpdf["centroid_id"].to_numpy()
+    got = merged.filter(F.col("id") >= cut).toPandas()
+    X = np.stack(got["emb"].to_numpy()).astype(np.float64)
+    want = cids[(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)).argmin(axis=1)]
+    assert (got["centroid_id"].to_numpy() == want).all()
