@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "tag_doc_freq",
     "tag_signatures",
     "sparse_mips",
+    "hybrid_rrf_search",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_region_revenue",

@@ -424,6 +424,59 @@ def _sparse_inputs(spark: SparkSession, sf_dir: str):
     return qterms, dterms
 
 
+@register(
+    "hybrid_rrf_search",
+    f"""
+WITH {_DT}, {_QT}, {_Q}, {_B},
+dd AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist FROM q, b WHERE q.qid < 5),
+dr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank_d
+       FROM dd QUALIFY rank_d <= 50),
+ss AS (SELECT qt.qid, dt.id, CAST(SUM(qt.w * dt.w) AS BIGINT) AS score
+       FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+sr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank_s
+       FROM ss QUALIFY rank_s <= 50),
+f AS (SELECT coalesce(dr.qid, sr.qid) AS qid, coalesce(dr.id, sr.id) AS id,
+             coalesce(1.0 / (60 + dr.rank_d), 0.0) + coalesce(1.0 / (60 + sr.rank_s), 0.0) AS rrf
+      FROM dr FULL OUTER JOIN sr ON dr.qid = sr.qid AND dr.id = sr.id)
+SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS INT) AS rank, id
+FROM f QUALIFY rank <= 10
+""",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval via reciprocal-rank fusion
+    (k=60): dense L2 top-50 over the embeddings and sparse MIPS top-50
+    over the document terms, fused as Σ 1/(60+rank) per modality — the
+    standard engine-agnostic fusion (no score calibration needed).
+    Rank-based, so fully oracle-checkable: the float RRF scores are
+    identical IEEE expressions on both engines and only ranks are
+    emitted.  Ids absent from one modality simply lack that term —
+    realistic when not every document has an embedding.  Scale shape:
+    both legs are existing top-k plans (nq×50 rows each), the fusion
+    join is nq×≤100 rows — driver-free and broadcast-light."""
+    from filter_vectordb_spark.operators.knn import knn_join
+    from filter_vectordb_spark.operators.sparse import sparse_topk
+
+    base = dense_vectors(spark, sf_dir)
+    dq = dense_queries(spark, sf_dir).filter(F.col("qid") < 5)
+    dense = knn_join(dq, base, 50, metric="l2", strategy="expr").select(
+        "qid", "id", F.col("rank").alias("rank_d")
+    )
+    qterms, dterms = _sparse_inputs(spark, sf_dir)
+    sparse = sparse_topk(qterms, dterms, 50).select(
+        "qid", "id", F.col("rank").alias("rank_s")
+    )
+    fused = dense.join(sparse, ["qid", "id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (60 + F.col("rank_d")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rank_s")), F.lit(0.0)),
+    )
+    from filter_vectordb_spark.operators.topk import per_group_topk
+
+    return per_group_topk(
+        fused, ["qid"], [F.col("rrf").desc(), F.col("id").asc()], 10
+    ).select("qid", "rank", "id")
+
+
 @register("sparse_mips", f"WITH {_DT}, {_QT}, {_SPARSE_TOPK_TAIL}")
 def sparse_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5/Q6: top-k max inner product over term-frequency sparse vectors
