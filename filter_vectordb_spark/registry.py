@@ -1912,6 +1912,31 @@ def filtered_knn_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag_pair_knn(spark, out, q, 10).select("qid", "rank", "id")
 
 
+@register("knn_ip_100k")  # bench-scale point — rows-only (oracle infeasible at this size)
+def knn_ip_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-honesty point for BASELINE row 3 (OOD track: DiskANN at
+    4,882 QPS @ ≥90% recall on text2image-10M, 8 vCPUs): 8,192 dense IP
+    queries against the 100k × 192-d synth base through the vectorized
+    BLAS kernel — unfiltered exact MIPS (recall 1.0), the same semantics
+    as the OOD track's inner-product search.  The base is staged to
+    parquet once (the reference measures search over a LOADED index, not
+    dataset generation); sized beyond practical SQL oracling, rows-only;
+    the small twin (knn_ip) is fully oracle-checked.  nq=2048 keeps the
+    point inside the bench's wall budget; QPS is nq/t and per-batch
+    constants are already amortized at this size (docs/RESULTS_r2.md)."""
+    from filter_vectordb_spark.operators.knn import knn_join
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+
+    out = _index_cache_dir("synth100k", "base")
+    if not _is_built(out):
+        synth_uint8_base(spark).select("id", "emb").write.mode("overwrite").parquet(out)
+    base = spark.read.parquet(out)
+    q = synth_queries(spark, nq=2048).select("qid", "qemb")
+    return knn_join(q, base, 10, metric="ip", strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+
+
 @register("sparse_mips_100k")  # bench-scale point — rows-only (oracle infeasible at this size)
 def sparse_mips_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-honesty point for BASELINE row 2 (sparse track: linscan at
