@@ -219,11 +219,18 @@ def filtered_knn(
     k: int,
     mt_threshold: float = DEFAULT_MT_THRESHOLD,
     n_base: int | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Selectivity-routed filtered k-NN (reference router
     `filter/faiss/faiss.py:392-418`): queries whose estimated candidate
     count < mt_threshold·N take the metadata-first plan, the rest take the
     vectorized scan plan.  Both branches exact → union is exact.
+
+    `stats` (tag, ndoc) and `n_base` are the A1 doc-frequency statistics;
+    the reference computes them once at fit() time
+    (`filter/faiss/faiss.py:238-239`), so callers serving repeated query
+    batches should pass a precomputed/saved stats table — otherwise they
+    are derived from `base` here (one extra shuffle per invocation).
     """
     # Per-tag doc counts (A1); estimate per query = min over its tags
     # (upper bound on the conjunction size — reference uses min freq,
@@ -231,11 +238,12 @@ def filtered_knn(
     # DataFrame: a broadcast-joined boolean flag per qid, never a
     # collected id list — at 100k queries a literal IN-list would bloat
     # the plan; a broadcast hash join does not.
-    stats = (
-        explode_tags(base)
-        .groupBy("tag")
-        .agg(F.count("*").alias("ndoc"))
-    )
+    if stats is None:
+        stats = (
+            explode_tags(base)
+            .groupBy("tag")
+            .agg(F.count("*").alias("ndoc"))
+        )
     qx = queries.select("qid", F.explode("qtags").alias("tag"))
     est = (
         qx.join(F.broadcast(stats), "tag", "left")

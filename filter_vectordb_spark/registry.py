@@ -179,10 +179,33 @@ SELECT qid, rank, id FROM r WHERE rank <= 10
 @register("filtered_knn_router", _FILTERED_ORACLE)
 def filtered_knn_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selectivity-routed filtered k-NN — the reference's flagship
-    (`filter/faiss/faiss.py:361-426`); both branches exact on Spark."""
+    (`filter/faiss/faiss.py:361-426`); both branches exact on Spark.
+
+    The A1 doc-frequency stats that drive routing are fit()-time artifacts
+    in the reference (`filter/faiss/faiss.py:238-239`), so they are served
+    from the per-sf_dir cache like every other index table — the timed
+    query routes and searches, it does not re-aggregate the corpus."""
+    import json
+    import os
+
     base = dense_vectors(spark, sf_dir)
     q = dense_queries(spark, sf_dir)
-    return filtered_knn(q, base, 10).select("qid", "rank", "id")
+    out = _index_cache_dir(sf_dir, "tagstats")
+    meta_path = os.path.join(out, "meta.json")
+    if not (_is_built(out) and os.path.exists(meta_path)):
+        from filter_vectordb_spark.operators.postings import explode_tags
+
+        explode_tags(base).groupBy("tag").agg(
+            F.count("*").alias("ndoc")
+        ).write.mode("overwrite").parquet(out)
+        with open(meta_path, "w") as f:
+            json.dump({"n_base": base.count()}, f)
+    with open(meta_path) as f:
+        n_base = json.load(f)["n_base"]
+    stats = spark.read.parquet(out)
+    return filtered_knn(q, base, 10, n_base=n_base, stats=stats).select(
+        "qid", "rank", "id"
+    )
 
 
 @register("filtered_knn_meta", _FILTERED_ORACLE)
@@ -742,6 +765,105 @@ def streaming_clustered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.join(idmap, res["id"] == idmap["new_id"]).select(
         "checkpoint", "qid", "rank", F.col("orig_id").alias("id")
     )
+
+
+# -- S4 multi-format coverage: the reference's own 482-line delete runbook --
+#
+# `streaming/delete_runbook.yaml` (the "data drift with deletes" scenario,
+# BASELINE.md row 4) is parsed AS SHIPPED — 76 steps, 32 search
+# checkpoints, interleaved cluster inserts and range deletes under a
+# max_pts=6400 cap.  Vectors for its id space [0, 10000) are derived from
+# the embeddings fixture by deterministic tiling (component + ⌊id/n⌋), so
+# every checkpoint is exactly recomputable by the oracle: per-checkpoint
+# live-id intervals fall out of the same pure-Python interval ledger the
+# replayer uses for its consolidation accounting.
+
+_DELETE_RUNBOOK_PATH = "/root/reference/streaming/delete_runbook.yaml"
+
+
+def _runbook_checkpoint_intervals(rb) -> list[list[tuple[int, int]]]:
+    """Live-id intervals at each search checkpoint (insert = upsert range,
+    delete = remove range — `streaming/run.py:39-44` semantics)."""
+    from filter_vectordb_spark.streaming.runbook import _sub_interval
+
+    live: list[tuple[int, int]] = []
+    out: list[list[tuple[int, int]]] = []
+    for s in rb.steps:
+        if s.operation == "insert":
+            live, _ = _sub_interval(live, s.start, s.end)
+            live.append((s.start, s.end))
+        elif s.operation == "delete":
+            live, _ = _sub_interval(live, s.start, s.end)
+        elif s.operation == "search":
+            out.append(sorted(live))
+    return out
+
+
+def _register_delete_replay() -> None:
+    import os
+
+    if not os.path.exists(_DELETE_RUNBOOK_PATH):
+        return  # reference checkout absent; surface not registrable
+    from filter_vectordb_spark.streaming.runbook import parse_runbook_yaml
+
+    rb = parse_runbook_yaml(_DELETE_RUNBOOK_PATH, "random-xs-clustered")
+    max_end = max(s.end for s in rb.steps if s.operation == "insert")
+    sets = "\nUNION ALL\n".join(
+        f"SELECT {c + 1} AS checkpoint, id, e FROM b WHERE "
+        + " OR ".join(f"(id >= {a} AND id < {b})" for a, b in ivs)
+        for c, ivs in enumerate(_runbook_checkpoint_intervals(rb))
+    )
+    oracle = f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+ids AS (SELECT CAST(r.range AS BIGINT) AS id FROM range(0, {max_end}) r),
+b AS (SELECT ids.id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE) + CAST(ids.id // nn.n AS DOUBLE)) AS e
+      FROM ids CROSS JOIN nn JOIN embeddings e ON e.vec_id = ids.id % nn.n),
+q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id < 8),
+sets AS ({sets}),
+d AS (SELECT s.checkpoint, q.qid, s.id, {_l2('q.qe', 's.e')} AS dist FROM sets s, q),
+r AS (SELECT checkpoint, qid, id,
+      row_number() OVER (PARTITION BY checkpoint, qid ORDER BY dist, id) AS rank FROM d)
+SELECT checkpoint, qid, rank, id FROM r WHERE rank <= 10
+"""
+
+    @register("streaming_delete_replay", oracle)
+    def streaming_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S4 multi-format + ST1-ST5 at scale: replay the reference's own
+        `delete_runbook.yaml` (`random-xs-clustered`: 76 steps, 32 search
+        checkpoints, max_pts 6400 — the BASELINE row-4 drift-with-deletes
+        scenario) against a deterministically tiled base; every checkpoint
+        is an exact search, so all 32 are hash-checked."""
+        from filter_vectordb_spark.sources.tables import load_table
+        from filter_vectordb_spark.streaming.runbook import (
+            parse_runbook_yaml,
+            replay,
+        )
+
+        rbk = parse_runbook_yaml(_DELETE_RUNBOOK_PATH, "random-xs-clustered")
+        emb = load_table(spark, "embeddings", sf_dir)
+        n = emb.count()
+        hi = max(s.end for s in rbk.steps if s.operation == "insert")
+        ids = spark.range(0, hi)
+        src = ids.join(
+            F.broadcast(emb.select("vec_id", "embedding")),
+            ids["id"] % n == F.col("vec_id"),
+        ).select(
+            "id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double")
+                + F.floor(F.col("id") / n).cast("double"),
+            ).alias("emb"),
+        )
+        q = dense_queries(spark, sf_dir)
+        return replay(spark, src, rbk, q, k=10).select(
+            "checkpoint", "qid", "rank", "id"
+        )
+
+
+_register_delete_replay()
 
 
 # --------------------------------------------------------- index-backed search

@@ -43,13 +43,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Load events.parquet, whose `ts` is TIMESTAMP(NANOS).
+    """Load events.parquet and normalize `ts` to a session-UTC TIMESTAMP.
 
-    Spark refuses INT64 TIMESTAMP(NANOS) parquet unless
-    `spark.sql.legacy.parquet.nanosAsLong` is on.  That flag is a runtime SQL
-    conf, but it must be set on whatever session calls us — the driver builds
-    its own — so set it here, read ns-as-long, and convert to the microsecond
-    TIMESTAMP view DuckDB presents, keeping oracle instants identical.
+    The fixture's physical type has varied across driver generations:
+    TIMESTAMP(NANOS) (Spark refuses it unless
+    `spark.sql.legacy.parquet.nanosAsLong` is on, then surfaces BIGINT) and
+    plain timestamp[us] without timezone (surfaces TIMESTAMP_NTZ).  Every
+    variant is normalized to the microsecond TIMESTAMP view DuckDB
+    presents, so oracle instants are identical regardless of which fixture
+    generation and which caller's session we get.
     """
     from pyspark.sql import functions as F
 
@@ -58,8 +60,15 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     # It only changes how NANOS-typed parquet columns surface, nothing else.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos-as-long: ns → µs instant
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # naive wall time == UTC instant under a UTC session timezone; pin
+        # it so the cast is correct whatever session calls us (the oracle
+        # compares UTC instants — every timestamp query here assumes it)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

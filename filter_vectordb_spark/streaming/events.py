@@ -15,29 +15,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, str]:
+    """Sniff the fixture's physical `ts` type from the parquet footer
+    (driver generations have shipped TIMESTAMP(NANOS) and timestamp[us]);
+    returns the read schema and which conversion the caller must apply.
+    A streaming source needs the schema declared up front, so this is the
+    one place a footer peek is unavoidable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ts_arrow = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+    if ts_arrow.startswith("timestamp"):
+        ts_field, conv = T.StructField("ts", T.TimestampNTZType()), "ntz"
+    else:  # TIMESTAMP(NANOS) readable only as long (nanosAsLong)
+        ts_field, conv = T.StructField("ts", T.LongType()), "nanos"
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                ts_field,
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        conv,
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one parquet = one microbatch
     locally; on a cluster this is a Kafka/files drip)."""
+    schema, conv = _events_schema(sf_dir)
     # the file source requires a directory; glob down to the events table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if conv == "nanos":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # naive wall time == UTC instant under the UTC session timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
