@@ -191,7 +191,13 @@ def filtered_knn_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = dense_vectors(spark, sf_dir)
     q = dense_queries(spark, sf_dir)
     out = _index_cache_dir(sf_dir, "tagstats")
-    meta_path = os.path.join(out, "meta.json")
+    # Sidecar MUST be underscore-prefixed: Spark's FileSourceScan lists every
+    # non-`_`/`.` file in the directory as a Parquet part, so a plain
+    # `meta.json` poisons the whole read ("Expected magic number at tail").
+    meta_path = os.path.join(out, "_meta.json")
+    stale = os.path.join(out, "meta.json")  # r3 layout — purge on sight
+    if os.path.exists(stale):
+        os.remove(stale)
     if not (_is_built(out) and os.path.exists(meta_path)):
         from filter_vectordb_spark.operators.postings import explode_tags
 
