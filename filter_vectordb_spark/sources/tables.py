@@ -64,11 +64,17 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     if ts_type == "bigint":  # nanos-as-long: ns → µs instant
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        # naive wall time == UTC instant under a UTC session timezone; pin
-        # it so the cast is correct whatever session calls us (the oracle
-        # compares UTC instants — every timestamp query here assumes it)
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # The naive wall time IS the UTC instant (the oracle compares UTC
+        # instants).  convert_timezone shifts the NTZ wall from UTC to the
+        # caller's session zone, so the following cast (which interprets
+        # wall in session tz) lands on the UTC instant — no session-conf
+        # mutation, correct under any caller timezone.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
+            ),
+        )
     return df
 
 

@@ -58,9 +58,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if conv == "nanos":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # naive wall time == UTC instant under the UTC session timezone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # naive wall time == UTC instant; shift-then-cast is session-tz-proof
+    # (see sources/tables.py:_load_events) — no session-conf mutation
+    return raw.withColumn(
+        "ts",
+        F.expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"),
+    )
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
