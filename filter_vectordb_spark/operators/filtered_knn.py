@@ -100,24 +100,34 @@ def filtered_knn_scan(
     (F3) runs only on the bloom survivors, then partial top-k; global
     merge finishes.
     """
-    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+    from filter_vectordb_spark.operators import knn as _knn
 
     if "sig" not in base.columns:
         base = base.withColumn("sig", sig_from_tags(F.col("tags")))
     qpdf = queries.select("qid", "qemb", "qtags").toPandas()
-    if len(qpdf) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
-            "partition the query set and union the results"
-        )
     if len(qpdf) == 0:
         spark = queries.sparkSession
         return spark.createDataFrame([], "qid BIGINT, id BIGINT, dist DOUBLE, rank INT")
+    # Above the broadcast cap: slice the query set into ≤cap chunks, score
+    # each with its own scan, union the scored streams — qids are disjoint
+    # across chunks so the per-qid top-k below is identical to single-shot,
+    # and executor memory stays bounded by one chunk's broadcast.
+    cap = _knn.MAX_BROADCAST_QUERIES
+    chunks = [qpdf.iloc[lo : lo + cap] for lo in range(0, len(qpdf), cap)]
+    scored = _filtered_scan_chunk(chunks[0], base, k)
+    for ch in chunks[1:]:
+        scored = scored.unionByName(_filtered_scan_chunk(ch, base, k))
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+
+
+def _filtered_scan_chunk(qpdf, base: DataFrame, k: int) -> DataFrame:
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
     qtags = [np.asarray(t, dtype=np.int64) for t in qpdf["qtags"]]
     qmasks = np.array([_py_qmask(t) for t in qpdf["qtags"]], dtype=np.int64)
-    bc = queries.sparkSession.sparkContext.broadcast((qids, Q, qtags, qmasks))
+    bc = base.sparkSession.sparkContext.broadcast((qids, Q, qtags, qmasks))
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bqids, bQ, bqtags, bqmasks = bc.value
@@ -170,12 +180,9 @@ def filtered_knn_scan(
                     }
                 )
 
-    scored = base.select("id", "emb", "tags", "sig").mapInPandas(
+    return base.select("id", "emb", "tags", "sig").mapInPandas(
         score, schema="qid long, id long, dist double"
     )
-    return per_group_topk(
-        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
-    ).select("qid", "id", "dist", "rank")
 
 
 def filtered_knn_sig_expr(

@@ -92,16 +92,32 @@ def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFr
 
     Only the partial top-k (nq×k rows per batch) leaves the scan stage —
     the W3 two-phase merge pattern (SURVEY.md §2.5).
+
+    Above the broadcast cap the query set is sliced into ≤cap chunks, each
+    scored by its own scan, and the scored streams unioned — qids are
+    disjoint across chunks, so the per-qid top-k downstream is identical
+    to a single-shot run.  Memory per executor stays bounded by one
+    chunk's broadcast matrix; total work is nq×N either way (that is the
+    semantics, not an artifact of chunking).
     """
     qpdf = q.toPandas()  # small side by contract
-    if len(qpdf) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
-            "partition the query set and union the results"
-        )
+    cap = MAX_BROADCAST_QUERIES
+    if len(qpdf) > cap:
+        parts = [
+            _score_vectorized_chunk(qpdf.iloc[lo : lo + cap], b, metric, k)
+            for lo in range(0, len(qpdf), cap)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _score_vectorized_chunk(qpdf, b, metric, k)
+
+
+def _score_vectorized_chunk(qpdf, b: DataFrame, metric: str, k: int) -> DataFrame:
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-    sc = q.sparkSession.sparkContext
+    sc = b.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q))
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -61,13 +61,24 @@ def test_padding_rule(spark, base, queries):
         assert row.neighbors[-1] == -1  # padded (`bindings.cpp:787-789`)
 
 
-def test_broadcast_cap(spark, base, queries):
-    import filter_vectordb_spark.operators.knn as knn_mod
+def test_vectorized_chunks_above_broadcast_cap(spark, base, queries, monkeypatch):
+    """Above the broadcast cap the query set is sliced and unioned — results
+    must be identical to the single-shot run (VERDICT r3 'What's wrong' #3)."""
+    from filter_vectordb_spark.operators import knn as knn_mod
 
-    old = knn_mod.MAX_BROADCAST_QUERIES
-    knn_mod.MAX_BROADCAST_QUERIES = 2
-    try:
-        with pytest.raises(ValueError, match="broadcast cap"):
-            knn_join(queries, base, K, strategy="vectorized").count()
-    finally:
-        knn_mod.MAX_BROADCAST_QUERIES = old
+    want = knn_join(queries, base, K, strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)  # 8 queries → 3 chunks
+    got = knn_join(queries, base, K, strategy="vectorized").select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_filtered_scan_chunks_above_broadcast_cap(spark, base, queries, monkeypatch):
+    from filter_vectordb_spark.operators import knn as knn_mod
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_scan
+
+    want = filtered_knn_scan(queries, base, K).select("qid", "rank", "id")
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = filtered_knn_scan(queries, base, K).select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
