@@ -403,7 +403,14 @@ def embedding_near_dup(
 
     from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
 
-    if emb.count() > MAX_BROADCAST_QUERIES:
+    # Route on a LIMIT cap+1 count, not a full-corpus count(): the scan
+    # stops as soon as cap+1 rows are seen, so choosing the path costs one
+    # truncated job instead of a full corpus pass at scale.
+    over_cap = (
+        emb.select(F.lit(1)).limit(MAX_BROADCAST_QUERIES + 1).count()
+        > MAX_BROADCAST_QUERIES
+    )
+    if over_cap:
         # beyond the broadcast cap: bucket-then-verify scale path
         # (approximate candidate recall, exact precision — see its doc)
         return embedding_near_dup_bucketed(emb, tau, id_col, vec_col)
