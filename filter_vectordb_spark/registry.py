@@ -35,7 +35,7 @@ from filter_vectordb_spark.operators.postings import (
     intersect_postings,
     tag_stats,
 )
-from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+from filter_vectordb_spark.sources.vectors import DEFAULT_NQ, dense_queries, dense_vectors
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -62,7 +62,7 @@ _B = (
 _Q = (
     "q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe, "
     "[CAST(label AS INT), 10 + CAST(vec_id % 7 AS INT)] AS qtags "
-    "FROM embeddings WHERE vec_id < 8)"
+    f"FROM embeddings WHERE vec_id < {DEFAULT_NQ})"
 )
 
 
@@ -700,14 +700,14 @@ def streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH b AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
 c AS (SELECT CAST(vec_id AS INT) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-      FROM embeddings WHERE vec_id < 8),
+      FROM embeddings WHERE vec_id < {DEFAULT_NQ}),
 asg AS (SELECT id, e, cid,
         row_number() OVER (PARTITION BY id ORDER BY {_l2('ce', 'e')}, cid) AS rn
         FROM b, c),
 lab AS (SELECT id, e, cid AS label FROM asg WHERE rn = 1),
 lr AS (SELECT id, e, dense_rank() OVER (ORDER BY label) - 1 AS lrank FROM lab),
 q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-      FROM embeddings WHERE vec_id < 8),
+      FROM embeddings WHERE vec_id < {DEFAULT_NQ}),
 sets AS (
   SELECT 1 AS checkpoint, id, e FROM lr WHERE lrank <= 1
   UNION ALL SELECT 2, id, e FROM lr
@@ -787,13 +787,17 @@ def streaming_clustered_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DELETE_RUNBOOK_PATH = "/root/reference/streaming/delete_runbook.yaml"
 
 
-def _runbook_checkpoint_intervals(rb) -> list[list[tuple[int, int]]]:
-    """Live-id intervals at each search checkpoint (insert = upsert range,
-    delete = remove range — `streaming/run.py:39-44` semantics)."""
+def _runbook_checkpoint_intervals(rb) -> list[tuple[int, list[tuple[int, int]]]]:
+    """(checkpoint number, live-id intervals) at each SEARCH checkpoint
+    (insert = upsert range, delete = remove range — `streaming/run.py:39-44`
+    semantics).  Checkpoint numbers count search AND range steps, matching
+    `replay()`'s counter exactly, so a runbook with interleaved range
+    queries keeps oracle and replay numbering in sync."""
     from filter_vectordb_spark.streaming.runbook import _sub_interval
 
     live: list[tuple[int, int]] = []
-    out: list[list[tuple[int, int]]] = []
+    out: list[tuple[int, list[tuple[int, int]]]] = []
+    checkpoint = 0
     for s in rb.steps:
         if s.operation == "insert":
             live, _ = _sub_interval(live, s.start, s.end)
@@ -801,7 +805,10 @@ def _runbook_checkpoint_intervals(rb) -> list[list[tuple[int, int]]]:
         elif s.operation == "delete":
             live, _ = _sub_interval(live, s.start, s.end)
         elif s.operation == "search":
-            out.append(sorted(live))
+            checkpoint += 1
+            out.append((checkpoint, sorted(live)))
+        elif s.operation == "range":
+            checkpoint += 1  # replay() numbers range results too
     return out
 
 
@@ -815,9 +822,11 @@ def _register_delete_replay() -> None:
     rb = parse_runbook_yaml(_DELETE_RUNBOOK_PATH, "random-xs-clustered")
     max_end = max(s.end for s in rb.steps if s.operation == "insert")
     sets = "\nUNION ALL\n".join(
-        f"SELECT {c + 1} AS checkpoint, id, e FROM b WHERE "
-        + " OR ".join(f"(id >= {a} AND id < {b})" for a, b in ivs)
-        for c, ivs in enumerate(_runbook_checkpoint_intervals(rb))
+        f"SELECT {c} AS checkpoint, id, e FROM b WHERE "
+        # an all-deleted checkpoint has no live intervals: emit FALSE so
+        # the generated SQL stays well-formed (0 rows for that checkpoint)
+        + (" OR ".join(f"(id >= {a} AND id < {b})" for a, b in ivs) or "FALSE")
+        for c, ivs in _runbook_checkpoint_intervals(rb)
     )
     oracle = f"""
 WITH nn AS (SELECT count(*) AS n FROM embeddings),
@@ -826,7 +835,7 @@ b AS (SELECT ids.id,
              list_transform(e.embedding, x -> CAST(x AS DOUBLE) + CAST(ids.id // nn.n AS DOUBLE)) AS e
       FROM ids CROSS JOIN nn JOIN embeddings e ON e.vec_id = ids.id % nn.n),
 q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-      FROM embeddings WHERE vec_id < 8),
+      FROM embeddings WHERE vec_id < {DEFAULT_NQ}),
 sets AS ({sets}),
 d AS (SELECT s.checkpoint, q.qid, s.id, {_l2('q.qe', 's.e')} AS dist FROM sets s, q),
 r AS (SELECT checkpoint, qid, id,
@@ -1015,7 +1024,7 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_B},
 q AS (SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
-      CAST(label AS INT) AS qtag FROM embeddings WHERE vec_id < 8),
+      CAST(label AS INT) AS qtag FROM embeddings WHERE vec_id < {DEFAULT_NQ}),
 d AS (SELECT q.qid, b.id, {_l2('q.qe', 'b.e')} AS dist
       FROM q, b WHERE list_contains(b.tags, q.qtag)),
 r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d)
@@ -1662,7 +1671,7 @@ _UB = (
 )
 _UQ = (
     f"uq AS (SELECT vec_id AS qid, list_transform(embedding, x -> {_QX}) AS qe "
-    "FROM embeddings WHERE vec_id < 8)"
+    f"FROM embeddings WHERE vec_id < {DEFAULT_NQ})"
 )
 _L2I = (
     "list_reduce(list_prepend(0::BIGINT, list_transform(list_zip({a}, {b}), "
