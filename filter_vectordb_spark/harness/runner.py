@@ -27,9 +27,13 @@ def load_config(path: str) -> dict:
 
 
 def _recall_at_k(results: DataFrame, truth: DataFrame, k: int) -> float:
+    """hits / |truth| — the truth side holds ≤k rows per query, so a
+    query whose predicate matches fewer than k rows is not penalized for
+    the rows that do not exist (the reference's datasets guarantee ≥k
+    matches; our fixtures do not)."""
     hits = results.join(truth, ["qid", "id"]).count()
-    nq = truth.select("qid").distinct().count()
-    return hits / (nq * k) if nq else 0.0
+    denom = truth.count()
+    return hits / denom if denom else 0.0
 
 
 def run_benchmark(
@@ -62,6 +66,7 @@ def run_benchmark(
             exact = engine.exact_truth(spark, sf_dir, queries, k).cache()
             exact.count()
             caches.append(exact)
+            nq = queries.select("qid").distinct().count()
             run_count = int(group.get("run_count", 2))
             for qargs in group.get("query_args", [{}]):
                 engine.set_query_arguments(**qargs)
@@ -74,8 +79,11 @@ def run_benchmark(
                     best = min(best, time.perf_counter() - t0)
                 rec = {
                     "engine": engine.name,
+                    "qargs": json.dumps(qargs, sort_keys=True),
                     "build_s": round(build_s, 4),
                     "best_query_s": round(best, 4),
+                    "nq": nq,
+                    "qps": round(nq / best, 4) if best > 0 else 0.0,
                     "recall_at_k": round(
                         _recall_at_k(res.select("qid", "id"), exact, k), 4
                     ),
@@ -97,3 +105,37 @@ def run_benchmark(
         for c in caches:
             c.unpersist()
     return records
+
+
+def curve_report(records: list[dict]) -> list[dict]:
+    """The reference's figure of merit: the recall-vs-QPS curve per engine
+    over its query-arg grid (`README.md:129-141` plot.py, `241-243`
+    data_export.py → res.csv).  One point per (engine, query-args) run."""
+    return sorted(
+        (
+            {
+                "engine": r["engine"],
+                "qargs": r["qargs"],
+                "recall_at_k": r["recall_at_k"],
+                "qps": r["qps"],
+                "k": r["k"],
+            }
+            for r in records
+        ),
+        key=lambda r: (r["engine"], r["qargs"]),
+    )
+
+
+def write_curve(spark: SparkSession, records: list[dict], dest: str) -> DataFrame:
+    """Persist the curve as Parquet (the engine-native artifact) + a CSV
+    twin (the reference exports res.csv for plotting, `README.md:241-243`)."""
+    import pandas as pd
+
+    curve = curve_report(records)
+    df = spark.createDataFrame(
+        curve,
+        schema="engine STRING, qargs STRING, recall_at_k DOUBLE, qps DOUBLE, k INT",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(dest)
+    pd.DataFrame(curve).to_csv(dest.rstrip("/") + ".csv", index=False)
+    return df

@@ -964,6 +964,72 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sq_knn",
+    ORACLES["knn_l2"],
+)
+def sq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization search + exact rescore — the codec half of
+    the reference's faiss indexkey (`IVF16384,SQ8`,
+    `filter/faiss/faiss.py:133`).  Codes table (1 byte/component, 4× vs
+    float32) built once per sf_dir and served from the lake; the corpus
+    pass reads CODES ONLY, survivors are exactly rescored — equal to
+    brute-force k-NN whenever the true top-k survive the cut (SQ8's
+    per-component error is ≤ half a grid step; margin pinned in
+    tests/test_sq.py), hence the plain k-NN oracle."""
+    from filter_vectordb_spark.index.sq import (
+        encode_sq,
+        load_sq,
+        save_sq,
+        sq_search,
+        train_sq,
+    )
+
+    q = dense_queries(spark, sf_dir)
+    out = _index_cache_dir(sf_dir, "sq8")
+    if not _is_built(f"{out}/codes", f"{out}/grid"):
+        base = dense_vectors(spark, sf_dir).select("id", "emb")
+        vmin, vmax = train_sq(base)
+        save_sq(encode_sq(base, vmin, vmax), vmin, vmax, out)
+    codes, vmin, vmax = load_sq(spark, out)
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    return sq_search(q, codes, vmin, vmax, base, 10, refine=64).select(
+        "qid", "rank", "id"
+    )
+
+
+@register(
+    "ivfsq_knn",
+    ORACLES["knn_l2"],
+)
+def ivfsq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 composed index — the reference's faiss index architecture
+    verbatim (`IVF16384,SQ8`, `filter/faiss/faiss.py:133`): coarse
+    partitioner prunes WHICH rows are scanned, the 1-byte affine codes
+    decide HOW CHEAPLY; built once per sf_dir, probed full
+    (nprobe=nlist) with exact rescore — the oracle-checkable
+    configuration.  Partial-nprobe recall pinned in tests/test_sq.py."""
+    from filter_vectordb_spark.index.ivfsq import (
+        build_ivfsq,
+        ivfsq_search,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    q = dense_queries(spark, sf_dir)
+    nlist = 16
+    out = _index_cache_dir(sf_dir, "ivfsq16")
+    if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
+        base = dense_vectors(spark, sf_dir).select("id", "emb")
+        entries, centroids, vmin, vmax = build_ivfsq(base, nlist=nlist)
+        save_ivfsq(entries, centroids, vmin, vmax, out)
+    entries, centroids, vmin, vmax = load_ivfsq(spark, out)
+    base = dense_vectors(spark, sf_dir).select("id", "emb")
+    return ivfsq_search(
+        q, entries, centroids, vmin, vmax, base, 10, nprobe=nlist, refine=64
+    ).select("qid", "rank", "id")
+
+
+@register(
     "ivf_incremental_search",
     ORACLES["knn_l2"],
 )
@@ -2092,6 +2158,47 @@ def sparse_mips_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = synth_sparse_terms(spark)
     q = synth_sparse_queries(spark)
     return sparse_topk(q, d, 10).select("qid", "rank", "id")
+
+
+# -------------------------------------------------- recall-vs-QPS curve (§2.10)
+
+_CURVE_CONFIG = {
+    "run_groups": [
+        # recall=1 anchor, then the two tunable engines' query-arg grids —
+        # the same shape as the reference's per-algorithm config sweeps
+        # (`filter/faiss/config.yaml:54-63`)
+        {"engine": "bruteforce", "run_count": 1, "query_args": [{}]},
+        {
+            "engine": "ivf",
+            "index_params": {"nlist": 16},
+            "run_count": 1,
+            "query_args": [{"nprobe": n} for n in (1, 2, 4, 8, 16)],
+        },
+        {
+            "engine": "filtered",
+            "run_count": 1,
+            "query_args": [{"mt_threshold": t} for t in (0.001, 0.01, 0.1)],
+        },
+    ]
+}
+
+
+@register("recall_qps_curve")  # rows-only: QPS is wall-clock, inherently non-oracle-able
+def recall_qps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's figure of merit as a first-class artifact: one
+    (engine, query-args, recall@10, QPS) row per grid point, the table
+    behind its plot.py / data_export.py outputs (`README.md:129-141,
+    241-243`).  Grid: IVF nprobe sweep + filtered-router mt_threshold
+    sweep + the bruteforce anchor; persisted as Parquet + CSV twin."""
+    import os
+    import tempfile
+
+    from filter_vectordb_spark.harness.runner import run_benchmark, write_curve
+
+    key = sf_dir.strip("/").replace("/", "_")
+    dest = os.path.join(tempfile.gettempdir(), "fvdb_results", key, "recall_qps_curve")
+    records = run_benchmark(spark, _CURVE_CONFIG, sf_dir, k=10)
+    return write_curve(spark, records, dest)
 
 
 # ---------------------------------------------------------------- entry points

@@ -45,3 +45,51 @@ def test_run_benchmark_end_to_end(spark, tmp_path):
     df = spark.read.parquet(os.path.join(out, dirs[0]))
     assert set(df.columns) == {"qid", "rank", "id"}
     assert df.count() > 0
+
+
+def test_recall_qps_curve_artifact(spark, tmp_path):
+    """The reference's figure of merit (README.md:129-141, 241-243): a
+    (engine, qargs, recall@k, qps) point per grid entry, Parquet + CSV."""
+    import json as _json
+
+    from filter_vectordb_spark.harness.runner import curve_report, write_curve
+
+    config = load_config(FIXTURE)
+    records = run_benchmark(spark, config, SF_DIR, k=10)
+    curve = curve_report(records)
+    assert len(curve) == len(records)
+    # monotone recall along the ivf nprobe grid, anchor exact
+    ivf = sorted(
+        (p for p in curve if p["engine"] == "ivf"),
+        key=lambda p: _json.loads(p["qargs"])["nprobe"],
+    )
+    recalls = [p["recall_at_k"] for p in ivf]
+    assert recalls == sorted(recalls) and recalls[-1] == 1.0
+    assert all(p["qps"] > 0 for p in curve)
+    # artifact: parquet dir + csv twin, both readable, identical content
+    dest = str(tmp_path / "curve")
+    df = write_curve(spark, records, dest)
+    back = spark.read.parquet(dest)
+    assert back.count() == len(curve) == df.count()
+    import pandas as pd
+
+    csv = pd.read_csv(dest + ".csv")
+    assert len(csv) == len(curve)
+    assert set(csv.columns) == {"engine", "qargs", "recall_at_k", "qps", "k"}
+
+
+def test_filtered_engine_recall_is_exact(spark):
+    """filtered_knn is exact in both branches: with the truth-sized
+    denominator (queries whose predicate matches < k rows exist in the
+    fixture) its recall must be exactly 1.0 at every mt_threshold."""
+    config = {
+        "run_groups": [
+            {
+                "engine": "filtered",
+                "run_count": 1,
+                "query_args": [{"mt_threshold": t} for t in (0.001, 0.1)],
+            }
+        ]
+    }
+    records = run_benchmark(spark, config, SF_DIR, k=10)
+    assert [r["recall_at_k"] for r in records] == [1.0, 1.0]
