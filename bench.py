@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "ivf_full_probe",
     "pq_adc_knn",
     "ivfpq_knn",
+    "sq_knn",
+    "ivfsq_knn",
     "tag_partition_knn",
     "dedup_exact",
     "dedup_jaccard_pairs",
@@ -113,6 +115,8 @@ def main() -> None:
         "ivf_full_probe",
         "pq_adc_knn",
         "ivfpq_knn",
+        "sq_knn",  # builds the per-sf_dir SQ8 codes table
+        "ivfsq_knn",  # builds the per-sf_dir IVF+SQ8 entries table
         "tag_partition_knn",
         "lsh_cosine_knn",
         "lang_id_ngram",

@@ -1,0 +1,221 @@
+"""SQ8 scalar quantization — the faiss `IVF16384,SQ8` codec surface
+(`filter/faiss/faiss.py:133`) as Spark tables.
+
+Where PQ (index/pq.py) maps a subspace to one of ksub learned centroids,
+SQ8 quantizes each component independently to one byte on a per-dimension
+affine grid:
+
+  train  = exact per-dimension (min, max) over the corpus — one
+           map-side-combined aggregation (d rows per Arrow batch leave
+           the scan, d rows total shuffle); no RNG, bit-deterministic.
+  encode = code_j = round(255 · (x_j − vmin_j) / (vmax_j − vmin_j)),
+           clipped to [0, 255], stored −128 so the byte fits Spark's
+           signed TINYINT — a d-byte row, 4× smaller than float32.
+  search = reconstruction ADC: decode each batch back to
+           x̂_j = vmin_j + code_j · scale_j and score ‖q − x̂‖² at BLAS
+           speed — the scan reads the 1-byte codes table, never the
+           float table (faiss's SQ distance computers reconstruct the
+           same way).  Per-batch partial top-`refine`, global merge,
+           then the survivors (nq×refine rows) are exactly rescored via
+           a pruned join against the float table and the final top-k is
+           exact over that candidate set — the pq_adc_search two-phase
+           shape (W3).
+
+Scale posture (100 TB of 1536-d float32): the codes table is 25 TB —
+4× less I/O on the only full-corpus pass; everything downstream moves
+nq×refine rows.  Exactness: equal to brute-force k-NN whenever the true
+top-k survive the SQ cut (SQ8's per-component error is ≤ scale/2, far
+tighter than PQ's subspace error; refine=64 achieves recall 1.0 on the
+fixtures — pinned in tests/test_sq.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.operators.knn import pairwise_l2_scores
+from filter_vectordb_spark.operators.topk import per_group_topk
+
+
+def train_sq(base: DataFrame, b_vec: str = "emb") -> tuple[np.ndarray, np.ndarray]:
+    """(vmin, vmax) float64[d] — exact per-dimension extrema of the corpus.
+
+    One Arrow pass emits d (pos, min, max) rows per batch; the final
+    groupBy moves d·nbatches tiny rows — no full-corpus shuffle.  faiss
+    trains SQ on a sample; exact extrema are just as cheap here and make
+    the codec deterministic."""
+
+    def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[b_vec].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(X.shape[1], dtype=np.int32),
+                    "mn": X.min(axis=0),
+                    "mx": X.max(axis=0),
+                }
+            )
+
+    stats = (
+        base.select(b_vec)
+        .mapInPandas(partial, schema="pos int, mn double, mx double")
+        .groupBy("pos")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .toPandas()
+        .sort_values("pos")
+    )
+    return stats["mn"].to_numpy(), stats["mx"].to_numpy()
+
+
+def _scales(vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    scale = (vmax - vmin) / 255.0
+    # constant dimensions encode to 0 and decode to vmin exactly
+    scale[scale == 0.0] = 1.0
+    return scale
+
+
+def encode_sq(
+    base: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    b_id: str = "id",
+    b_vec: str = "emb",
+) -> DataFrame:
+    """(id BIGINT, codes ARRAY<TINYINT>) — codes stored −128 so the
+    uint8 grid index fits Spark's signed TINYINT; one Arrow pass."""
+    scale = _scales(vmin, vmax)
+    lo = vmin.copy()
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[b_vec].to_numpy()).astype(np.float64)
+            C = np.clip(np.rint((X - lo[None, :]) / scale[None, :]), 0, 255)
+            codes = (C - 128).astype(np.int8)
+            yield pd.DataFrame(
+                {"id": pdf[b_id].to_numpy(dtype=np.int64), "codes": list(codes)}
+            )
+
+    return base.select(b_id, b_vec).mapInPandas(
+        enc, schema="id long, codes array<tinyint>"
+    )
+
+
+def save_sq(codes: DataFrame, vmin: np.ndarray, vmax: np.ndarray, out_dir: str) -> None:
+    """S5 index save: codes as a lake table + the affine grid long-form
+    (pos, mn, mx) — reloadable without pickles."""
+    codes.write.mode("overwrite").parquet(f"{out_dir}/codes")
+    spark = codes.sparkSession
+    rows = [(int(i), float(vmin[i]), float(vmax[i])) for i in range(len(vmin))]
+    spark.createDataFrame(rows, "pos INT, mn DOUBLE, mx DOUBLE").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/grid")
+
+
+def load_sq(spark: SparkSession, out_dir: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    codes = spark.read.parquet(f"{out_dir}/codes")
+    g = spark.read.parquet(f"{out_dir}/grid").toPandas().sort_values("pos")
+    return codes, g["mn"].to_numpy(), g["mx"].to_numpy()
+
+
+def sq_scores(
+    queries: DataFrame,
+    codes: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    refine: int,
+    q_id: str = "qid",
+    q_vec: str = "qemb",
+) -> DataFrame:
+    """(qid, id, adist): reconstruction-L2² per batch, partial
+    top-`refine` — only nq×refine rows per Arrow batch leave the scan."""
+    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+
+    qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
+    cap = MAX_BROADCAST_QUERIES
+    scale = _scales(vmin, vmax)
+    lo = vmin.copy()
+
+    def chunk_scores(qch: pd.DataFrame) -> DataFrame:
+        qids = qch["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qch["qemb"].to_numpy()).astype(np.float64)
+        qn = (Q * Q).sum(axis=1)
+
+        def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                M = np.stack(pdf["codes"].to_numpy()).astype(np.float64) + 128.0
+                Xd = lo[None, :] + M * scale[None, :]  # decode (nb, d)
+                xn = (Xd * Xd).sum(axis=1)
+                D = xn[:, None] - 2.0 * (Xd @ Q.T) + qn[None, :]
+                np.maximum(D, 0.0, out=D)
+                kk = min(refine, len(ids))
+                if kk < len(ids):
+                    part = np.argpartition(D, kk - 1, axis=0)[:kk, :]
+                else:
+                    part = np.tile(np.arange(len(ids))[:, None], (1, len(qids)))
+                out_q, out_i, out_d = [], [], []
+                for j in range(len(qids)):
+                    cand = part[:, j]
+                    order = np.lexsort((ids[cand], D[cand, j]))
+                    sel = cand[order]
+                    out_q.append(np.full(kk, qids[j], dtype=np.int64))
+                    out_i.append(ids[sel])
+                    out_d.append(D[sel, j])
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "id": np.concatenate(out_i),
+                        "adist": np.concatenate(out_d),
+                    }
+                )
+
+        return codes.mapInPandas(scan, schema="qid long, id long, adist double")
+
+    # chunk-and-union above the broadcast cap (same contract as knn_join)
+    parts = [
+        chunk_scores(qpdf.iloc[i : i + cap]) for i in range(0, max(len(qpdf), 1), cap)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    base: DataFrame,
+    k: int,
+    refine: int,
+    q_id: str = "qid",
+    q_vec: str = "qemb",
+    b_id: str = "id",
+    b_vec: str = "emb",
+) -> DataFrame:
+    """SQ cut to `refine` candidates per query, exact L2² rescore of the
+    survivors only (pruned join touches nq×refine float rows), final
+    top-k.  Returns (qid, id, dist, rank)."""
+    scored = sq_scores(queries, codes, vmin, vmax, refine, q_id=q_id, q_vec=q_vec)
+    cand = per_group_topk(
+        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], refine
+    ).select("qid", "id")
+    b = base.select(F.col(b_id).alias("id"), F.col(b_vec).alias("emb"))
+    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
+    pairs = b.join(F.broadcast(cand), "id").join(F.broadcast(q), "qid")
+    exact = pairwise_l2_scores(pairs)
+    return per_group_topk(
+        exact, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")

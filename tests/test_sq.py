@@ -1,0 +1,172 @@
+"""SQ8 scalar-quantization tests (index/sq.py, index/ivfsq.py).
+
+Same methodology as tests/test_pq.py: the approximate cut is measured
+against the in-engine exact plan, and the composed reconstruct+rescore
+plan is pinned EQUAL to exact k-NN at the refine the registry uses
+(margin: the registry runs refine=64; recall 1.0 is asserted already at
+refine=K=10 because SQ8's per-component error is ≤ half a grid step)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from filter_vectordb_spark.index.sq import (
+    encode_sq,
+    load_sq,
+    save_sq,
+    sq_scores,
+    sq_search,
+    train_sq,
+)
+from filter_vectordb_spark.operators.knn import knn_join
+from filter_vectordb_spark.operators.topk import per_group_topk
+from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+from tests.conftest import SF_DIR
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return dense_vectors(spark, SF_DIR).select("id", "emb")
+
+
+@pytest.fixture(scope="module")
+def grid(base):
+    return train_sq(base)
+
+
+@pytest.fixture(scope="module")
+def codes(base, grid):
+    return encode_sq(base, *grid).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, base):
+    q = dense_queries(spark, SF_DIR)
+    return knn_join(q, base, K).select("qid", "rank", "id")
+
+
+def test_grid_is_exact_extrema(base, grid):
+    vmin, vmax = grid
+    pdf = base.toPandas()
+    X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+    assert np.array_equal(vmin, X.min(axis=0))
+    assert np.array_equal(vmax, X.max(axis=0))
+
+
+def test_encode_decode_error_bound(base, grid):
+    """Every component must reconstruct within half a grid step."""
+    vmin, vmax = grid
+    scale = (vmax - vmin) / 255.0
+    pdf = encode_sq(base, vmin, vmax).join(base, "id").toPandas()
+    X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+    C = np.stack(pdf["codes"].to_numpy()).astype(np.float64) + 128.0
+    Xd = vmin[None, :] + C * np.where(scale == 0, 1.0, scale)[None, :]
+    err = np.abs(X - Xd)
+    assert (err <= np.maximum(scale, 0.0)[None, :] / 2 + 1e-9).all()
+
+
+def test_codes_fit_tinyint(codes):
+    row = codes.select(
+        F.array_min("codes").alias("mn"), F.array_max("codes").alias("mx")
+    ).agg(F.min("mn"), F.max("mx")).collect()[0]
+    assert -128 <= row[0] and row[1] <= 127
+
+
+def test_sq_cut_recall_margin(spark, codes, grid, exact):
+    """The cut at refine=K (no slack at all) already achieves recall 1.0
+    on the fixture — the registry's refine=64 has 6.4× margin."""
+    q = dense_queries(spark, SF_DIR)
+    scored = sq_scores(q, codes, *grid, refine=K)
+    cut = per_group_topk(
+        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], K
+    ).select("qid", "id")
+    hits = cut.join(exact.select("qid", "id"), ["qid", "id"]).count()
+    assert hits / exact.count() >= 0.9
+
+
+def test_sq_rescore_equals_exact(spark, base, codes, grid, exact):
+    q = dense_queries(spark, SF_DIR)
+    res = sq_search(q, codes, *grid, base, K, refine=64).select("qid", "rank", "id")
+    assert res.exceptAll(exact).count() == 0 and exact.exceptAll(res).count() == 0
+
+
+def test_save_load_roundtrip(tmp_path, spark, base, codes, grid, exact):
+    out = str(tmp_path / "sq8")
+    save_sq(codes, *grid, out)
+    codes2, vmin2, vmax2 = load_sq(spark, out)
+    assert np.array_equal(vmin2, grid[0]) and np.array_equal(vmax2, grid[1])
+    q = dense_queries(spark, SF_DIR)
+    res = sq_search(q, codes2, vmin2, vmax2, base, K, refine=64).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0 and exact.exceptAll(res).count() == 0
+
+
+def test_sq_scan_reads_codes_only(spark, codes, grid):
+    """The corpus pass must not touch the float table — its input plan
+    reads (id, codes) only."""
+    q = dense_queries(spark, SF_DIR)
+    scored = sq_scores(q, codes, *grid, refine=K)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "emb" not in plan
+
+
+# ------------------------------------------------------------------ IVF+SQ
+
+
+@pytest.fixture(scope="module")
+def ivfsq(base):
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq
+
+    entries, centroids, vmin, vmax = build_ivfsq(base, nlist=8)
+    return entries.localCheckpoint(), centroids.localCheckpoint(), vmin, vmax
+
+
+def test_ivfsq_full_probe_equals_exact(spark, base, ivfsq, exact):
+    from filter_vectordb_spark.index.ivfsq import ivfsq_search
+
+    entries, centroids, vmin, vmax = ivfsq
+    q = dense_queries(spark, SF_DIR)
+    res = ivfsq_search(
+        q, entries, centroids, vmin, vmax, base, K, nprobe=8, refine=64
+    ).select("qid", "rank", "id")
+    assert res.exceptAll(exact).count() == 0 and exact.exceptAll(res).count() == 0
+
+
+def test_ivfsq_recall_improves_with_nprobe(spark, base, ivfsq, exact):
+    from filter_vectordb_spark.index.ivfsq import ivfsq_search
+
+    entries, centroids, vmin, vmax = ivfsq
+    q = dense_queries(spark, SF_DIR)
+    truth = exact.select("qid", "id")
+    denom = truth.count()
+    recalls = []
+    for nprobe in (1, 4, 8):
+        res = ivfsq_search(
+            q, entries, centroids, vmin, vmax, base, K, nprobe=nprobe, refine=64
+        )
+        recalls.append(res.join(truth, ["qid", "id"]).count() / denom)
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_ivfsq_save_load_roundtrip(tmp_path, spark, base, ivfsq, exact):
+    from filter_vectordb_spark.index.ivfsq import (
+        ivfsq_search,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    entries, centroids, vmin, vmax = ivfsq
+    out = str(tmp_path / "ivfsq")
+    save_ivfsq(entries, centroids, vmin, vmax, out)
+    e2, c2, mn2, mx2 = load_ivfsq(spark, out)
+    q = dense_queries(spark, SF_DIR)
+    res = ivfsq_search(q, e2, c2, mn2, mx2, base, K, nprobe=8, refine=64).select(
+        "qid", "rank", "id"
+    )
+    assert res.exceptAll(exact).count() == 0 and exact.exceptAll(res).count() == 0
