@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "token_stats",
     "text_quality",
+    "text_repetition",
     "lang_id_ngram",
     "media_features",
     "uint8_knn",

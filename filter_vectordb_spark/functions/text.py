@@ -130,3 +130,37 @@ def quality_score(text: Column, n_chars: Column) -> Column:
         + fl["stopword_ok"].cast("int")
         + fl["chars_ok"].cast("int")
     )
+
+
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (repetition is the signal — contrast
+    shingles_of_tokens, which dedups for similarity).  Empty array when
+    the document has fewer than n tokens (F.sequence would count DOWN for
+    a negative span, so the short case must be guarded)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duckdb_ngrams_sql(toks_expr: str, n: int) -> str:
+    """Identical n-grams (with duplicates) as DuckDB SQL — range() yields
+    an empty list for short docs, matching the guarded Spark side."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(n))
+    return f"[{parts} for i in range(1, len({toks_expr}) - {n - 1} + 1)]"
+
+
+def top_token_count(toks: Column) -> Column:
+    """Occurrences of the most frequent token — an O(distinct·n) codegen
+    expression per row, no shuffle (Gopher's top-word repetition gate
+    needs only this count, not the full histogram).  0 for empty docs."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda w: F.size(F.filter(toks, lambda x: x == w)),
+            )
+        ),
+        F.lit(0),
+    )

@@ -1240,6 +1240,73 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from filter_vectordb_spark.functions.text import duckdb_ngrams_sql as _ngrams_sql  # noqa: E402
+
+
+@register(
+    "text_repetition",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+             {_ngrams_sql('toks', 2)} AS g2,
+             {_ngrams_sql('toks', 3)} AS g3
+      FROM t),
+c AS (SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(list_distinct(toks),
+                 w -> len(list_filter(toks, x -> x = w)))), 0) AS top_word_count,
+             len(g2) AS n_2grams, len(list_distinct(g2)) AS n_uniq_2grams,
+             len(g3) AS n_3grams, len(list_distinct(g3)) AS n_uniq_3grams
+      FROM g)
+SELECT doc_id, n_words, top_word_count, n_2grams, n_uniq_2grams,
+       n_3grams, n_uniq_3grams,
+       (top_word_count * 5 > n_words
+        OR (n_2grams - n_uniq_2grams) * 5 > n_2grams
+        OR (n_3grams - n_uniq_3grams) * 5 > n_3grams) AS repetitive
+FROM c
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1: fraction of
+    duplicate word n-grams / most-frequent-word mass), integerized so the
+    oracle compare is exact: a doc is `repetitive` when its top word
+    carries >20% of the words or >20% of its 2-grams or 3-grams are
+    duplicates.  Pure codegen'd SQL expressions per row — no shuffle, no
+    Python — so the gate runs at scan speed on any corpus size."""
+    from filter_vectordb_spark.functions.text import (
+        ngrams_of_tokens,
+        tokens,
+        top_token_count,
+    )
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    g = t.select(
+        "doc_id",
+        "toks",
+        ngrams_of_tokens(F.col("toks"), 2).alias("g2"),
+        ngrams_of_tokens(F.col("toks"), 3).alias("g3"),
+    )
+    c = g.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        top_token_count(F.col("toks")).alias("top_word_count"),
+        F.size("g2").alias("n_2grams"),
+        F.size(F.array_distinct("g2")).alias("n_uniq_2grams"),
+        F.size("g3").alias("n_3grams"),
+        F.size(F.array_distinct("g3")).alias("n_uniq_3grams"),
+    )
+    return c.select(
+        "*",
+        (
+            (F.col("top_word_count") * 5 > F.col("n_words"))
+            | ((F.col("n_2grams") - F.col("n_uniq_2grams")) * 5 > F.col("n_2grams"))
+            | ((F.col("n_3grams") - F.col("n_uniq_3grams")) * 5 > F.col("n_3grams"))
+        ).alias("repetitive"),
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -2178,6 +2245,16 @@ _CURVE_CONFIG = {
             "engine": "filtered",
             "run_count": 1,
             "query_args": [{"mt_threshold": t} for t in (0.001, 0.01, 0.1)],
+        },
+        {
+            "engine": "pq",
+            "run_count": 1,
+            "query_args": [{"refine": r} for r in (10, 40, 160)],
+        },
+        {
+            "engine": "sq8",
+            "run_count": 1,
+            "query_args": [{"refine": r} for r in (10, 40)],
         },
     ]
 }
