@@ -126,7 +126,61 @@ class SparseEngine(BaseEngine):
         return sparse_topk(queries, self.dterms, k).select("qid", "id")
 
 
+class PQEngine(BaseEngine):
+    """PQ ADC scan + exact rescore (index/pq.py); query knob: refine —
+    the ADC-cut width, the recall/scan-cost dial."""
+
+    name = "pq"
+
+    def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        from filter_vectordb_spark.index.pq import encode_pq, train_pq
+
+        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        nsub = int(self.index_params.get("nsub", 32))
+        ksub = int(self.index_params.get("ksub", 64))
+        self.codebooks = train_pq(self.base, nsub=nsub, ksub=ksub)
+        self.codes = encode_pq(self.base, self.codebooks).localCheckpoint()
+
+    def query(self, queries: DataFrame, k: int) -> DataFrame:
+        from filter_vectordb_spark.index.pq import pq_adc_search
+
+        refine = int(self.query_args.get("refine", 4 * k))
+        return pq_adc_search(
+            queries, self.codes, self.codebooks, self.base, k, refine
+        )
+
+
+class SQEngine(BaseEngine):
+    """SQ8 reconstruct scan + exact rescore (index/sq.py); query knob:
+    refine — same dial as PQ but over the 1-byte affine codec."""
+
+    name = "sq8"
+
+    def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        from filter_vectordb_spark.index.sq import encode_sq, train_sq
+
+        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.vmin, self.vmax = train_sq(self.base)
+        self.codes = encode_sq(self.base, self.vmin, self.vmax).localCheckpoint()
+
+    def query(self, queries: DataFrame, k: int) -> DataFrame:
+        from filter_vectordb_spark.index.sq import sq_search
+
+        refine = int(self.query_args.get("refine", 4 * k))
+        return sq_search(
+            queries, self.codes, self.vmin, self.vmax, self.base, k, refine
+        )
+
+
 ENGINES = {
     e.name: e
-    for e in (BruteForceEngine, IVFEngine, FilteredEngine, LSHEngine, SparseEngine)
+    for e in (
+        BruteForceEngine,
+        IVFEngine,
+        FilteredEngine,
+        LSHEngine,
+        SparseEngine,
+        PQEngine,
+        SQEngine,
+    )
 }

@@ -170,15 +170,29 @@ def adc_scores(
 ) -> DataFrame:
     """(qid, id, adist): per-batch partial top-`refine` under the ADC
     approximation — only nq×refine rows per Arrow batch leave the codes
-    scan (the W3 two-phase shape; global merge is the caller's top-k)."""
+    scan (the W3 two-phase shape; global merge is the caller's top-k).
+
+    Above the broadcast cap the query set is sliced into ≤cap chunks and
+    the scored streams unioned — same contract as knn_join."""
     from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
 
     qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    if len(qpdf) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query side has {len(qpdf)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
-            "partition the query set and union the results"
-        )
+    cap = MAX_BROADCAST_QUERIES
+    if len(qpdf) > cap:
+        parts = [
+            _adc_scores_chunk(qpdf.iloc[lo : lo + cap], codes, codebooks, refine)
+            for lo in range(0, len(qpdf), cap)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _adc_scores_chunk(qpdf, codes, codebooks, refine)
+
+
+def _adc_scores_chunk(
+    qpdf: pd.DataFrame, codes: DataFrame, codebooks: np.ndarray, refine: int
+) -> DataFrame:
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
     nsub, ksub, dsub = codebooks.shape

@@ -93,3 +93,34 @@ def test_filtered_engine_recall_is_exact(spark):
     }
     records = run_benchmark(spark, config, SF_DIR, k=10)
     assert [r["recall_at_k"] for r in records] == [1.0, 1.0]
+
+
+def test_quantization_engines_refine_tradeoff(spark):
+    """PQ/SQ engines: recall monotone in refine; SQ8 (tighter codec)
+    reaches 1.0 by refine=40 on the fixture."""
+    import json as _json
+
+    config = {
+        "run_groups": [
+            {
+                "engine": "pq",
+                "run_count": 1,
+                "query_args": [{"refine": r} for r in (10, 160)],
+            },
+            {
+                "engine": "sq8",
+                "run_count": 1,
+                "query_args": [{"refine": r} for r in (10, 40)],
+            },
+        ]
+    }
+    records = run_benchmark(spark, config, SF_DIR, k=10)
+    by = {}
+    for r in records:
+        by.setdefault(r["engine"], []).append(
+            (_json.loads(r["qargs"])["refine"], r["recall_at_k"])
+        )
+    for eng, pts in by.items():
+        pts.sort()
+        assert [p[1] for p in pts] == sorted(p[1] for p in pts), eng
+    assert by["sq8"][-1][1] == 1.0

@@ -228,3 +228,19 @@ def test_ivf_insert_assigns_to_nearest_existing_centroid(spark, base):
     X = np.stack(got["emb"].to_numpy()).astype(np.float64)
     want = cids[(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)).argmin(axis=1)]
     assert (got["centroid_id"].to_numpy() == want).all()
+
+
+def test_adc_chunks_above_broadcast_cap(spark, base, codes, codebooks, exact, monkeypatch):
+    """Chunk-and-union above the broadcast cap must equal single-shot."""
+    from filter_vectordb_spark.index.pq import pq_adc_search
+    from filter_vectordb_spark.operators import knn as knn_mod
+
+    q = dense_queries(spark, SF_DIR)
+    want = pq_adc_search(q, codes, codebooks, base, K, refine=64).select(
+        "qid", "rank", "id"
+    )
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = pq_adc_search(q, codes, codebooks, base, K, refine=64).select(
+        "qid", "rank", "id"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

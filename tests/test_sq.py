@@ -170,3 +170,29 @@ def test_ivfsq_save_load_roundtrip(tmp_path, spark, base, ivfsq, exact):
         "qid", "rank", "id"
     )
     assert res.exceptAll(exact).count() == 0 and exact.exceptAll(res).count() == 0
+
+
+def test_ivfsq_probe_prunes_partitions(spark, base, ivfsq, tmp_path):
+    """Probing must reach the entries scan as a partition filter (static
+    or dynamic) — the 'probe = partition pruning' contract."""
+    from filter_vectordb_spark.index.ivfsq import ivfsq_search, load_ivfsq, save_ivfsq
+    from filter_vectordb_spark.plans.audit import assert_partition_pruned
+
+    entries, centroids, vmin, vmax = ivfsq
+    out = str(tmp_path / "ivfsq_plan")
+    save_ivfsq(entries, centroids, vmin, vmax, out)
+    e2, c2, mn2, mx2 = load_ivfsq(spark, out)
+    q = dense_queries(spark, SF_DIR)
+    res = ivfsq_search(q, e2, c2, mn2, mx2, base, K, nprobe=2, refine=64)
+    assert_partition_pruned(res)
+
+
+def test_sq_chunks_above_broadcast_cap(spark, base, codes, grid, exact, monkeypatch):
+    """Chunk-and-union above the broadcast cap must equal single-shot."""
+    from filter_vectordb_spark.operators import knn as knn_mod
+
+    q = dense_queries(spark, SF_DIR)
+    want = sq_search(q, codes, *grid, base, K, refine=64).select("qid", "rank", "id")
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = sq_search(q, codes, *grid, base, K, refine=64).select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
