@@ -58,6 +58,8 @@ _PRIORITY = [
     "ivfsq_knn",
     "recall_qps_curve",
     "text_repetition",
+    "eval_contamination",
+    "pii_scrub",
     # changed this round (cache fix, timezone scoping, oracle hardening,
     # broadcast-cap chunking) — must re-green
     "filtered_knn_router",

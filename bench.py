@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "token_stats",
     "text_quality",
     "text_repetition",
+    "eval_contamination",
+    "pii_scrub",
     "lang_id_ngram",
     "media_features",
     "uint8_knn",

@@ -1307,6 +1307,144 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_N = 4  # word n-gram size for train/eval overlap
+_CONTAM_EVAL_IDS = 16  # doc_id < this = the held-out eval slice (deterministic)
+
+
+@register(
+    "eval_contamination",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct({_ngrams_sql('toks', _CONTAM_N)}) AS grams FROM t),
+ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id < {_CONTAM_EVAL_IDS}),
+tr AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id >= {_CONTAM_EVAL_IDS}),
+h AS (SELECT ev.doc_id, count(*) AS n_hit FROM ev JOIN tr USING (gram) GROUP BY ev.doc_id)
+SELECT g.doc_id,
+       len(grams) AS n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+       (COALESCE(h.n_hit, 0) * 4 >= len(grams)) AS contaminated
+FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+WHERE g.doc_id < {_CONTAM_EVAL_IDS}
+""",
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination check (the GPT-3 appendix-C /
+    PaLM methodology): for each held-out eval document, how many of its
+    distinct word {_CONTAM_N}-grams appear anywhere in the training
+    corpus; flagged when ≥25% overlap (integer cross-multiply, exact
+    oracle compare).
+
+    Spark-first shape: distinct grams per doc are computed row-wise
+    (codegen, no Python), eval grams explode to (doc_id, gram), train
+    grams explode to a distinct gram set, and the overlap is one
+    hash-join on the gram string with map-side combine on both explodes —
+    exactly the shuffle-on-fingerprint layout a 100 TB decontamination
+    pass uses (swap the string for a 64-bit gram hash at scale; the
+    join key cardinality is what matters, not the representation)."""
+    from filter_vectordb_spark.functions.text import ngrams_of_tokens, tokens
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(
+            ngrams_of_tokens(tokens(F.col("text")), _CONTAM_N)
+        ).alias("grams"),
+    )
+    ev = g.filter(F.col("doc_id") < _CONTAM_EVAL_IDS)
+    tr_grams = (
+        g.filter(F.col("doc_id") >= _CONTAM_EVAL_IDS)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    ev_grams = ev.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        ev_grams.join(tr_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        ev.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 4 >= F.size("grams")
+            ).alias("contaminated"),
+        )
+    )
+
+
+# PII redaction patterns — RE2-compatible so Spark (Java regex) and DuckDB
+# (RE2) match identically; applied email → ip → phone on both sides.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PII_PHONE = r"\+1-555-\d{4}"
+
+
+@register(
+    "pii_scrub",
+    f"""
+WITH p AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@example.com at 10.' || (doc_id % 256)
+       || '.0.' || (doc_id % 100) || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  AS raw FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}'))
+          + len(regexp_extract_all(raw, '{_PII_IP}'))
+          + len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_redactions
+FROM p
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4, NANP-style phones) — the scrub pass a
+    training-data pipeline runs before tokenization.  The fixture corpus
+    carries no PII, so the query plants deterministic synthetic PII from
+    doc_id with the SAME expression on both engines, then redacts it —
+    the redaction machinery (RE2-compatible patterns, fixed application
+    order, per-doc redaction counts) is what the oracle verifies.
+
+    Pure regexp expressions per row — codegen'd, no shuffle, no Python —
+    so the scrub runs at scan speed at any corpus size."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    p = docs.select("doc_id", raw.alias("raw"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    n_red = (
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL))
+        + F.regexp_count(F.col("raw"), F.lit(_PII_IP))
+        + F.regexp_count(F.col("raw"), F.lit(_PII_PHONE))
+    ).cast("long")
+    return p.select(
+        "doc_id", scrubbed.alias("scrubbed"), n_red.alias("n_redactions")
+    )
+
+
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 

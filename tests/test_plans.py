@@ -168,3 +168,33 @@ def test_lineitem_projection_prunes_columns(spark):
     plan = physical_plan(df)
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" not in scan, scan
+
+
+def test_text_repetition_is_one_stage_no_shuffle(spark):
+    """The repetition gate must stay a pure per-row scan: no Exchange in
+    the plan, whole-stage codegen'd — the property that lets it run at
+    scan speed on any corpus size."""
+    from filter_vectordb_spark import registry
+
+    df = registry.QUERIES["text_repetition"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert_whole_stage_codegen(df)
+
+
+def test_pii_scrub_is_one_stage_no_shuffle(spark):
+    """Redaction is pure per-row regexp work — no Exchange, codegen'd."""
+    from filter_vectordb_spark import registry
+
+    df = registry.QUERIES["pii_scrub"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+    assert_whole_stage_codegen(df)
+
+
+def test_eval_contamination_joins_on_gram_no_cartesian(spark):
+    """The overlap must be a hash join on the gram key, never a product."""
+    from filter_vectordb_spark import registry
+
+    df = registry.QUERIES["eval_contamination"](spark, SF_DIR)
+    assert_no_cartesian(df)
