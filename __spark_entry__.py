@@ -60,6 +60,7 @@ _PRIORITY = [
     "text_repetition",
     "eval_contamination",
     "pii_scrub",
+    "corpus_mix_allocation",
     # changed this round (cache fix, timezone scoping, oracle hardening,
     # broadcast-cap chunking) — must re-green
     "filtered_knn_router",

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "eval_contamination",
     "pii_scrub",
+    "corpus_mix_allocation",
     "lang_id_ngram",
     "media_features",
     "uint8_knn",

@@ -1376,6 +1376,73 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET = 100_000  # token budget to allocate across languages
+
+
+@register(
+    "corpus_mix_allocation",
+    f"""
+WITH t AS (SELECT lang, count(*) AS n_docs,
+                  CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS T FROM t),
+a AS (SELECT lang, n_docs, n_tokens,
+             ({_MIX_BUDGET} * n_tokens) // T AS base,
+             ({_MIX_BUDGET} * n_tokens) % T AS rem
+      FROM t, tot),
+s AS (SELECT CAST(SUM(base) AS BIGINT) AS S FROM a),
+r AS (SELECT a.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM a)
+SELECT lang, n_docs, n_tokens,
+       CAST(base + CASE WHEN rk <= {_MIX_BUDGET} - s.S THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM r, s
+""",
+)
+def corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture budgeting: allocate a fixed token budget across
+    languages proportionally to their corpus mass using the
+    largest-remainder (Hamilton) method — all-integer, so the allocation
+    is exact (Σ alloc == budget, pytest-pinned) and the oracle compare is
+    exact.  This is the 'mixture weights → per-source token quotas' step
+    of a training-data pipeline, run here at the language granularity.
+
+    Scale shape: one map-side-combined groupBy(lang); everything after
+    operates on #langs rows (a window over a handful of rows), so the
+    plan is a single corpus aggregation regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from filter_vectordb_spark.functions.text import token_count
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = t.agg(F.sum("n_tokens").cast("long").alias("T"))
+    a = t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"({_MIX_BUDGET} * n_tokens) DIV T").alias("base"),
+        F.expr(f"({_MIX_BUDGET} * n_tokens) % T").alias("rem"),
+    )
+    s = a.agg(F.sum("base").cast("long").alias("S"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    r = a.withColumn("rk", F.row_number().over(w))
+    return r.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= _MIX_BUDGET - F.col("S"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
 # PII redaction patterns — RE2-compatible so Spark (Java regex) and DuckDB
 # (RE2) match identically; applied email → ip → phone on both sides.
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

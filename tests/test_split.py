@@ -59,3 +59,18 @@ def test_split_proportions_roughly_hold(spark, docs):
 def test_bad_percents_rejected(spark, docs):
     with pytest.raises(ValueError):
         assign_splits(docs, train_pct=95, valid_pct=10)
+
+
+def test_mix_allocation_sums_to_budget_exactly(spark):
+    """Largest-remainder allocation: Σ alloc == budget, every share within
+    1 of its exact proportional value."""
+    from filter_vectordb_spark import registry
+    from tests.conftest import SF_DIR
+
+    pdf = registry.QUERIES["corpus_mix_allocation"](spark, SF_DIR).toPandas()
+    B = 100_000
+    assert int(pdf["alloc_tokens"].sum()) == B
+    T = int(pdf["n_tokens"].sum())
+    for _, row in pdf.iterrows():
+        exact = B * int(row["n_tokens"]) / T
+        assert abs(int(row["alloc_tokens"]) - exact) < 1.0
