@@ -61,6 +61,7 @@ _PRIORITY = [
     "eval_contamination",
     "pii_scrub",
     "corpus_mix_allocation",
+    "dedup_substring_windows",
     # changed this round (cache fix, timezone scoping, oracle hardening,
     # broadcast-cap chunking) — must re-green
     "filtered_knn_router",

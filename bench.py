@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "eval_contamination",
     "pii_scrub",
     "corpus_mix_allocation",
+    "dedup_substring_windows",
     "lang_id_ngram",
     "media_features",
     "uint8_knn",

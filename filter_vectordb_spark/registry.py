@@ -1376,6 +1376,71 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_L = 30  # char window length for exact-substring duplication
+
+
+@register(
+    "dedup_substring_windows",
+    f"""
+WITH w AS (SELECT doc_id,
+                  unnest([substr(text, i, {_SUBSTR_L})
+                          for i in range(1, len(text) - {_SUBSTR_L} + 2)]) AS win
+           FROM documents),
+c AS (SELECT win, count(*) AS n FROM w GROUP BY win),
+d AS (SELECT w.doc_id,
+             count(*) AS n_windows,
+             CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+      FROM w JOIN c USING (win) GROUP BY w.doc_id)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, n_dup_windows,
+       (n_dup_windows * 5 > n_windows) AS substring_dup
+FROM d
+""",
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    {_SUBSTR_L}-char sliding window of every document, counted across the
+    corpus; a document is flagged when >20% of its windows occur more
+    than once corpus-wide.  This is the windowed (hash-join) variant of
+    the paper's suffix-array method — the distributed shape is explode →
+    one groupBy(window) with map-side combine → hash-join back, i.e.
+    shuffle rows ∝ corpus chars, the standard layout at cluster scale
+    (a 64-bit rolling hash replaces the string key at 100 TB; the join
+    cardinality, not the representation, is the cost)."""
+    from filter_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    L = _SUBSTR_L
+    # substring with a dynamic start index needs SQL expr (the Python
+    # F.substring signature takes literal positions only)
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {L} + 1),"
+                f" i -> substring(text, i, {L}))"
+            )
+        ).alias("win"),
+    )
+    c = w.groupBy("win").agg(F.count("*").alias("n"))
+    d = (
+        w.join(c, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (F.col("n_dup_windows") * 5 > F.col("n_windows")).alias("substring_dup"),
+    )
+
+
 _MIX_BUDGET = 100_000  # token budget to allocate across languages
 
 
