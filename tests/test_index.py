@@ -95,3 +95,22 @@ def test_tag_partition_scan_prunes(spark, tmp_path):
     )
     bad = joined.filter(~F.array_contains("tags", F.col("qtag"))).count()
     assert bad == 0
+
+
+def test_router_self_heals_poisoned_tagstats_cache(spark):
+    """r3 regression class: a stray non-underscore file inside a cached
+    Parquet dir breaks every subsequent read ('Expected magic number at
+    tail').  The router must remove the r3-layout stray and still answer."""
+    import os
+
+    from filter_vectordb_spark import registry
+    from tests.conftest import SF_DIR
+
+    out = registry._index_cache_dir(SF_DIR, "tagstats")
+    registry.QUERIES["filtered_knn_router"](spark, SF_DIR).count()  # ensure built
+    stray = os.path.join(out, "meta.json")
+    with open(stray, "w") as f:
+        f.write('{"n_base": 999}')
+    res = registry.QUERIES["filtered_knn_router"](spark, SF_DIR)
+    assert res.count() > 0
+    assert not os.path.exists(stray)
