@@ -78,3 +78,27 @@ def test_reference_clustered_runbook_replays(spark):
         # every query finds k neighbors while enough points are live
         if len(live_at[ck_id]) >= 5:
             assert len(grp) == 4 * 5
+
+
+def test_oracle_interval_generator_handles_range_and_empty_checkpoints():
+    """ADVICE r3: the oracle generator must number checkpoints exactly as
+    replay() does (search AND range steps increment), and an all-deleted
+    search checkpoint must yield an empty interval set (the SQL builder
+    emits FALSE for it, keeping the query well-formed)."""
+    from filter_vectordb_spark.registry import _runbook_checkpoint_intervals
+    from filter_vectordb_spark.streaming.runbook import Runbook, RunbookStep
+
+    rb = Runbook(
+        max_pts=100,
+        steps=[
+            RunbookStep("insert", 0, 10),
+            RunbookStep("search"),               # checkpoint 1: [0,10)
+            RunbookStep("range", radius=1.0),    # checkpoint 2 (range — skipped)
+            RunbookStep("delete", 0, 10),
+            RunbookStep("search"),               # checkpoint 3: empty
+            RunbookStep("insert", 5, 8),
+            RunbookStep("search"),               # checkpoint 4: [5,8)
+        ],
+    )
+    out = _runbook_checkpoint_intervals(rb)
+    assert out == [(1, [(0, 10)]), (3, []), (4, [(5, 8)])]
