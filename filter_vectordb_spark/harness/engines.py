@@ -38,6 +38,22 @@ class IVFEngine(BaseEngine):
         self.assignments, self.centroids = build_ivf(base, nlist)
         self.nlist = nlist
 
+    def load_index(self, spark: SparkSession, sf_dir: str) -> bool:
+        """S5: serve from the registry's per-sf_dir cache when the same
+        nlist=16 index was already built (fit()/load split, the
+        reference's `filter/run.py:15-52` lifecycle)."""
+        from filter_vectordb_spark.index.ivf import load_ivf
+        from filter_vectordb_spark.registry import _index_cache_dir, _is_built
+
+        if int(self.index_params.get("nlist", 16)) != 16:
+            return False
+        out = _index_cache_dir(sf_dir, "ivf16")
+        if not _is_built(f"{out}/assignments", f"{out}/centroids"):
+            return False
+        self.assignments, self.centroids = load_ivf(spark, out)
+        self.nlist = 16
+        return True
+
     def query(self, queries: DataFrame, k: int) -> DataFrame:
         nprobe = int(self.query_args.get("nprobe", self.nlist))
         return ivf_search(queries, self.assignments, self.centroids, k, nprobe)
@@ -141,6 +157,24 @@ class PQEngine(BaseEngine):
         self.codebooks = train_pq(self.base, nsub=nsub, ksub=ksub)
         self.codes = encode_pq(self.base, self.codebooks).localCheckpoint()
 
+    def load_index(self, spark: SparkSession, sf_dir: str) -> bool:
+        """S5: serve codes + codebooks from the registry's per-sf_dir
+        cache when the same nsub=32/ksub=64 index was already built."""
+        from filter_vectordb_spark.index.pq import load_pq
+        from filter_vectordb_spark.registry import _index_cache_dir, _is_built
+
+        if (
+            int(self.index_params.get("nsub", 32)) != 32
+            or int(self.index_params.get("ksub", 64)) != 64
+        ):
+            return False
+        out = _index_cache_dir(sf_dir, "pq32x64")
+        if not _is_built(f"{out}/codes", f"{out}/codebooks"):
+            return False
+        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.codes, self.codebooks = load_pq(spark, out)
+        return True
+
     def query(self, queries: DataFrame, k: int) -> DataFrame:
         from filter_vectordb_spark.index.pq import pq_adc_search
 
@@ -162,6 +196,19 @@ class SQEngine(BaseEngine):
         self.base = dense_vectors(spark, sf_dir).select("id", "emb")
         self.vmin, self.vmax = train_sq(self.base)
         self.codes = encode_sq(self.base, self.vmin, self.vmax).localCheckpoint()
+
+    def load_index(self, spark: SparkSession, sf_dir: str) -> bool:
+        """S5: serve the codes table + affine grid from the registry's
+        per-sf_dir cache when present."""
+        from filter_vectordb_spark.index.sq import load_sq
+        from filter_vectordb_spark.registry import _index_cache_dir, _is_built
+
+        out = _index_cache_dir(sf_dir, "sq8")
+        if not _is_built(f"{out}/codes", f"{out}/grid"):
+            return False
+        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.codes, self.vmin, self.vmax = load_sq(spark, out)
+        return True
 
     def query(self, queries: DataFrame, k: int) -> DataFrame:
         from filter_vectordb_spark.index.sq import sq_search
