@@ -69,27 +69,26 @@ _PRIORITY = [
     "filtered_knn_scan",
     "filtered_knn_sig",
     "knn_l2",
-    "knn_l2_expr",
     "knn_ip",
-    "knn_cosine",
     "streaming_delete_replay",
     "streaming_replay",
     "streaming_clustered_replay",
     "events_hourly",
     "events_hourly_stream",
-    "events_sessionize",
     "events_asof_join",
     "signup_click_conversion",
     "sparse_mips",
-    "sparse_mips_alpha",
-    "sparse_mips_budget",
     "ivf_full_probe",
     "pq_adc_knn",
     "ivfpq_knn",
     "ivf_incremental_search",
     "tag_partition_knn",
     "tag_pair_partition_knn",
+    # knn_l2_expr / knn_cosine / sparse_mips_alpha / sparse_mips_budget /
+    # events_sessionize are represented by in-sample siblings sharing
+    # their plans and oracles; they stay registered and pytest-checked.
 ]
+assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

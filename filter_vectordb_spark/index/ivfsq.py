@@ -57,22 +57,21 @@ def save_ivfsq(
     vmax: np.ndarray,
     out_dir: str,
 ) -> None:
+    from filter_vectordb_spark.index.sq import write_grid
+
     entries.write.mode("overwrite").partitionBy("centroid_id").parquet(
         f"{out_dir}/entries"
     )
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
-    spark = entries.sparkSession
-    rows = [(int(i), float(vmin[i]), float(vmax[i])) for i in range(len(vmin))]
-    spark.createDataFrame(rows, "pos INT, mn DOUBLE, mx DOUBLE").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/grid")
+    write_grid(entries.sparkSession, vmin, vmax, f"{out_dir}/grid")
 
 
 def load_ivfsq(spark: SparkSession, out_dir: str):
+    from filter_vectordb_spark.index.sq import read_grid
+
     entries = spark.read.parquet(f"{out_dir}/entries")
     centroids = spark.read.parquet(f"{out_dir}/centroids")
-    g = spark.read.parquet(f"{out_dir}/grid").toPandas().sort_values("pos")
-    return entries, centroids, g["mn"].to_numpy(), g["mx"].to_numpy()
+    return (entries, centroids, *read_grid(spark, f"{out_dir}/grid"))
 
 
 def ivfsq_search(

@@ -174,20 +174,15 @@ def adc_scores(
 
     Above the broadcast cap the query set is sliced into ≤cap chunks and
     the scored streams unioned — same contract as knn_join."""
-    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+    from filter_vectordb_spark.operators.knn import union_query_chunks
 
     qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    cap = MAX_BROADCAST_QUERIES
-    if len(qpdf) > cap:
-        parts = [
-            _adc_scores_chunk(qpdf.iloc[lo : lo + cap], codes, codebooks, refine)
-            for lo in range(0, len(qpdf), cap)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-    return _adc_scores_chunk(qpdf, codes, codebooks, refine)
+    return union_query_chunks(
+        qpdf,
+        codes.sparkSession,
+        lambda ch: _adc_scores_chunk(ch, codes, codebooks, refine),
+        "qid LONG, id LONG, adist DOUBLE",
+    )
 
 
 def _adc_scores_chunk(

@@ -109,21 +109,31 @@ def encode_sq(
     )
 
 
-def save_sq(codes: DataFrame, vmin: np.ndarray, vmax: np.ndarray, out_dir: str) -> None:
-    """S5 index save: codes as a lake table + the affine grid long-form
-    (pos, mn, mx) — reloadable without pickles."""
-    codes.write.mode("overwrite").parquet(f"{out_dir}/codes")
-    spark = codes.sparkSession
+def write_grid(
+    spark: SparkSession, vmin: np.ndarray, vmax: np.ndarray, path: str
+) -> None:
+    """Persist the affine grid long-form (pos, mn, mx) — reloadable
+    without pickles; shared by the SQ and IVF+SQ cache layouts."""
     rows = [(int(i), float(vmin[i]), float(vmax[i])) for i in range(len(vmin))]
     spark.createDataFrame(rows, "pos INT, mn DOUBLE, mx DOUBLE").write.mode(
         "overwrite"
-    ).parquet(f"{out_dir}/grid")
+    ).parquet(path)
+
+
+def read_grid(spark: SparkSession, path: str) -> tuple[np.ndarray, np.ndarray]:
+    g = spark.read.parquet(path).toPandas().sort_values("pos")
+    return g["mn"].to_numpy(), g["mx"].to_numpy()
+
+
+def save_sq(codes: DataFrame, vmin: np.ndarray, vmax: np.ndarray, out_dir: str) -> None:
+    """S5 index save: codes as a lake table + the affine grid."""
+    codes.write.mode("overwrite").parquet(f"{out_dir}/codes")
+    write_grid(codes.sparkSession, vmin, vmax, f"{out_dir}/grid")
 
 
 def load_sq(spark: SparkSession, out_dir: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     codes = spark.read.parquet(f"{out_dir}/codes")
-    g = spark.read.parquet(f"{out_dir}/grid").toPandas().sort_values("pos")
-    return codes, g["mn"].to_numpy(), g["mx"].to_numpy()
+    return (codes, *read_grid(spark, f"{out_dir}/grid"))
 
 
 def sq_scores(
@@ -137,10 +147,9 @@ def sq_scores(
 ) -> DataFrame:
     """(qid, id, adist): reconstruction-L2² per batch, partial
     top-`refine` — only nq×refine rows per Arrow batch leave the scan."""
-    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+    from filter_vectordb_spark.operators.knn import union_query_chunks
 
     qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    cap = MAX_BROADCAST_QUERIES
     scale = _scales(vmin, vmax)
     lo = vmin.copy()
 
@@ -182,14 +191,13 @@ def sq_scores(
 
         return codes.mapInPandas(scan, schema="qid long, id long, adist double")
 
-    # chunk-and-union above the broadcast cap (same contract as knn_join)
-    parts = [
-        chunk_scores(qpdf.iloc[i : i + cap]) for i in range(0, max(len(qpdf), 1), cap)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # shared above-the-cap chunk-and-union contract (see union_query_chunks)
+    return union_query_chunks(
+        qpdf,
+        codes.sparkSession,
+        chunk_scores,
+        "qid LONG, id LONG, adist DOUBLE",
+    )
 
 
 def sq_search(

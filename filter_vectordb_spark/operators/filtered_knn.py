@@ -105,18 +105,13 @@ def filtered_knn_scan(
     if "sig" not in base.columns:
         base = base.withColumn("sig", sig_from_tags(F.col("tags")))
     qpdf = queries.select("qid", "qemb", "qtags").toPandas()
-    if len(qpdf) == 0:
-        spark = queries.sparkSession
-        return spark.createDataFrame([], "qid BIGINT, id BIGINT, dist DOUBLE, rank INT")
-    # Above the broadcast cap: slice the query set into ≤cap chunks, score
-    # each with its own scan, union the scored streams — qids are disjoint
-    # across chunks so the per-qid top-k below is identical to single-shot,
-    # and executor memory stays bounded by one chunk's broadcast.
-    cap = _knn.MAX_BROADCAST_QUERIES
-    chunks = [qpdf.iloc[lo : lo + cap] for lo in range(0, len(qpdf), cap)]
-    scored = _filtered_scan_chunk(chunks[0], base, k)
-    for ch in chunks[1:]:
-        scored = scored.unionByName(_filtered_scan_chunk(ch, base, k))
+    # shared above-the-cap chunk-and-union contract (see union_query_chunks)
+    scored = _knn.union_query_chunks(
+        qpdf,
+        base.sparkSession,
+        lambda ch: _filtered_scan_chunk(ch, base, k),
+        "qid LONG, id LONG, dist DOUBLE",
+    )
     return per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")

@@ -45,6 +45,28 @@ MAX_BROADCAST_QUERIES = 1_000_000
 METRICS = ("l2", "ip", "cos")
 
 
+def union_query_chunks(qpdf, spark, score_chunk, empty_schema: str) -> DataFrame:
+    """Shared above-the-broadcast-cap contract: slice a driver-side query
+    frame into ≤MAX_BROADCAST_QUERIES chunks, build one scored scan per
+    chunk via `score_chunk(chunk_pdf)`, union the streams.  qids are
+    disjoint across chunks, so any per-qid top-k downstream is identical
+    to a single-shot run; executor memory stays bounded by one chunk's
+    broadcast.  An empty query frame returns an empty typed DataFrame
+    (`empty_schema`) instead of crashing in the kernel builder.
+
+    Used by the vectorized k-NN join, the filtered scan, and the PQ/SQ
+    ADC scans — one implementation so the cap and empty-input semantics
+    cannot drift apart (they did once; see tests)."""
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], empty_schema)
+    cap = MAX_BROADCAST_QUERIES
+    parts = [score_chunk(qpdf.iloc[lo : lo + cap]) for lo in range(0, len(qpdf), cap)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _order(metric: str):
     """l2: smaller is nearer; ip/cos: larger is nearer. Ties → id asc."""
     if metric == "l2":
@@ -101,17 +123,12 @@ def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFr
     semantics, not an artifact of chunking).
     """
     qpdf = q.toPandas()  # small side by contract
-    cap = MAX_BROADCAST_QUERIES
-    if len(qpdf) > cap:
-        parts = [
-            _score_vectorized_chunk(qpdf.iloc[lo : lo + cap], b, metric, k)
-            for lo in range(0, len(qpdf), cap)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-    return _score_vectorized_chunk(qpdf, b, metric, k)
+    return union_query_chunks(
+        qpdf,
+        b.sparkSession,
+        lambda ch: _score_vectorized_chunk(ch, b, metric, k),
+        "qid LONG, id LONG, dist DOUBLE",
+    )
 
 
 def _score_vectorized_chunk(qpdf, b: DataFrame, metric: str, k: int) -> DataFrame:

@@ -1413,12 +1413,17 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = _SUBSTR_L
     # substring with a dynamic start index needs SQL expr (the Python
     # F.substring signature takes literal positions only)
+    # Guard docs shorter than L chars: sequence(1, negative) counts DOWN
+    # in Spark, which would fabricate windows the oracle (whose range()
+    # yields an empty list) never sees — same trap ngrams_of_tokens guards.
     w = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, length(text) - {L} + 1),"
+                f"CASE WHEN length(text) >= {L} THEN"
+                f" transform(sequence(1, length(text) - {L} + 1),"
                 f" i -> substring(text, i, {L}))"
+                f" ELSE array() END"
             )
         ).alias("win"),
     )

@@ -65,17 +65,23 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         # The naive wall time IS the UTC instant (the oracle compares UTC
-        # instants).  convert_timezone shifts the NTZ wall from UTC to the
-        # caller's session zone, so the following cast (which interprets
-        # wall in session tz) lands on the UTC instant — no session-conf
-        # mutation, correct under any caller timezone.
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"
-            ),
-        )
+        # instants).  Decompose the NTZ into wall-pure date/time parts and
+        # rebuild the epoch arithmetically: every component (date, hour,
+        # minute, fractional second) is extracted from the wall clock, so
+        # the result is identical under ANY caller session timezone —
+        # including its DST transition hours, where any wall→instant cast
+        # roundtrip is lossy (the repeated fall-back hour is ambiguous).
+        df = df.withColumn("ts", F.expr(_NTZ_AS_UTC_MICROS_SQL))
     return df
+
+
+#: NTZ wall clock → UTC-instant TIMESTAMP, session-timezone-proof (see
+#: _load_events; also used by the streaming events source)
+_NTZ_AS_UTC_MICROS_SQL = (
+    "timestamp_micros(unix_date(cast(ts as date)) * 86400000000L"
+    " + hour(ts) * 3600000000L + minute(ts) * 60000000L"
+    " + cast(extract(second from ts) * 1000000 as long))"
+)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

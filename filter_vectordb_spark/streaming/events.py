@@ -58,12 +58,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if conv == "nanos":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # naive wall time == UTC instant; shift-then-cast is session-tz-proof
-    # (see sources/tables.py:_load_events) — no session-conf mutation
-    return raw.withColumn(
-        "ts",
-        F.expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"),
-    )
+    # naive wall time == UTC instant; wall-pure arithmetic rebuild is
+    # session-tz-proof incl. DST hours (see sources/tables.py) — no
+    # session-conf mutation
+    from filter_vectordb_spark.sources.tables import _NTZ_AS_UTC_MICROS_SQL
+
+    return raw.withColumn("ts", F.expr(_NTZ_AS_UTC_MICROS_SQL))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

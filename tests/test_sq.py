@@ -196,3 +196,12 @@ def test_sq_chunks_above_broadcast_cap(spark, base, codes, grid, exact, monkeypa
     monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
     got = sq_search(q, codes, *grid, base, K, refine=64).select("qid", "rank", "id")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_sq_search_empty_query_set_returns_empty(spark, base, codes, grid):
+    """Zero queries must yield an empty typed result, not a kernel crash
+    (union_query_chunks' shared empty-input contract)."""
+    empty_q = spark.createDataFrame([], "qid BIGINT, qemb ARRAY<FLOAT>")
+    res = sq_search(empty_q, codes, *grid, base, K, refine=64)
+    assert res.count() == 0
+    assert set(res.columns) == {"qid", "id", "dist", "rank"}

@@ -54,3 +54,32 @@ def test_event_stream_source_does_not_mutate_session_timezone(spark):
         assert spark.conf.get(TZ_KEY) == "America/New_York"
     finally:
         spark.conf.set(TZ_KEY, original)
+
+
+def test_ntz_conversion_is_exact_in_dst_transition_hours(spark):
+    """The wall→instant conversion must be exact even for wall times that
+    fall in a session zone's DST transition hours, where any
+    wall-clock-roundtrip approach is lossy (the fall-back hour repeats,
+    the spring-forward hour does not exist)."""
+    from filter_vectordb_spark.sources.tables import _NTZ_AS_UTC_MICROS_SQL
+
+    cases = [
+        ("2024-11-03 06:30:00", 1730615400000000),  # NY fall-back hour
+        ("2024-03-10 07:30:00", 1710055800000000),  # NY spring-forward hour
+        ("2021-06-01 12:00:00.123456", 1622548800123456),
+    ]
+    original = spark.conf.get(TZ_KEY)
+    try:
+        for tz in ("UTC", "America/New_York", "Australia/Lord_Howe"):
+            spark.conf.set(TZ_KEY, tz)
+            for wall, want in cases:
+                got = spark.sql(
+                    "SELECT unix_micros("
+                    + _NTZ_AS_UTC_MICROS_SQL.replace(
+                        "ts", f"TIMESTAMP_NTZ'{wall}'"
+                    )
+                    + ") AS u"
+                ).collect()[0].u
+                assert got == want, (tz, wall, got, want)
+    finally:
+        spark.conf.set(TZ_KEY, original)
