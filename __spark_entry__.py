@@ -92,7 +92,11 @@ assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = {n: registry.QUERIES[n] for n in _PRIORITY if n in registry.QUERIES}
+    # a misspelled _PRIORITY name must fail loudly, not silently yield its
+    # driver-checked slot to a registration-order filler
+    missing = [n for n in _PRIORITY if n not in registry.QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    ordered = {n: registry.QUERIES[n] for n in _PRIORITY}
     for n, fn in registry.QUERIES.items():
         ordered.setdefault(n, fn)
     return ordered

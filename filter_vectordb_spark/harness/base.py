@@ -55,7 +55,33 @@ class BaseEngine(ABC):
     # -- track-specific inputs (each reference track carries its own query
     # shape and ground-truth computation, `filter/run.py` vs `sparse/run.py`)
 
+    def _base_source(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """(id, emb) base vectors.  index_params["source"]="synth100k"
+        swaps the sf_dir fixture for the staged 100k scale fixture, so
+        the same engine grid can be curved at bench scale (the curve's
+        QPS column is then batch throughput, matching how BASELINE.md
+        numbers are defined — VERDICT r4 #5)."""
+        if self.index_params.get("source") == "synth100k":
+            from filter_vectordb_spark.registry import _synth100k_base
+
+            return _synth100k_base(spark).select("id", "emb")
+        from filter_vectordb_spark.sources.vectors import dense_vectors
+
+        return dense_vectors(spark, sf_dir).select("id", "emb")
+
+    def _cache_key(self, sf_dir: str) -> str:
+        """Index-cache key: the synth fixture has its own cache namespace
+        (generator-versioned, sf-independent)."""
+        if self.index_params.get("source") == "synth100k":
+            return "synth100k_v2"
+        return sf_dir
+
     def default_queries(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.index_params.get("source") == "synth100k":
+            from filter_vectordb_spark.sources.synth import synth_queries
+
+            nq = int(self.index_params.get("nq", 256))
+            return synth_queries(spark, nq=nq).select("qid", "qemb")
         from filter_vectordb_spark.sources.vectors import dense_queries
 
         return dense_queries(spark, sf_dir)
@@ -65,7 +91,6 @@ class BaseEngine(ABC):
     ) -> DataFrame:
         """(qid, id) exact ground truth for recall@k."""
         from filter_vectordb_spark.operators.knn import knn_join
-        from filter_vectordb_spark.sources.vectors import dense_vectors
 
-        base = dense_vectors(spark, sf_dir).select("id", "emb")
+        base = self._base_source(spark, sf_dir)
         return knn_join(queries, base, k, metric=self.metric).select("qid", "id")

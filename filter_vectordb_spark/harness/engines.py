@@ -20,7 +20,7 @@ class BruteForceEngine(BaseEngine):
     name = "bruteforce"
 
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
-        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.base = self._base_source(spark, sf_dir)
 
     def query(self, queries: DataFrame, k: int) -> DataFrame:
         strategy = self.query_args.get("strategy", "vectorized")
@@ -33,25 +33,39 @@ class IVFEngine(BaseEngine):
     name = "ivf"
 
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        """Build AND persist to the shared index cache (fit()/load split,
+        the reference's `filter/run.py:15-52` lifecycle) — the saved
+        partitioned layout is what makes probes partition pruning, and
+        later runs (and the registry's own queries) load it instead of
+        re-running k-means."""
+        from filter_vectordb_spark.index.ivf import load_ivf, save_ivf
+        from filter_vectordb_spark.registry import _index_cache_dir
+
         nlist = int(self.index_params.get("nlist", 16))
-        base = dense_vectors(spark, sf_dir).select("id", "emb")
-        self.assignments, self.centroids = build_ivf(base, nlist)
+        base = self._base_source(spark, sf_dir)
+        assignments, centroids = build_ivf(
+            base,
+            nlist,
+            max_iter=int(self.index_params.get("max_iter", 8)),
+            train_rows=self.index_params.get("train_rows"),
+        )
+        out = _index_cache_dir(self._cache_key(sf_dir), f"ivf{nlist}")
+        save_ivf(assignments, centroids, out)
+        self.assignments, self.centroids = load_ivf(spark, out)
         self.nlist = nlist
 
     def load_index(self, spark: SparkSession, sf_dir: str) -> bool:
-        """S5: serve from the registry's per-sf_dir cache when the same
-        nlist=16 index was already built (fit()/load split, the
-        reference's `filter/run.py:15-52` lifecycle)."""
+        """S5: serve from the shared per-source cache when the same-nlist
+        index was already built."""
         from filter_vectordb_spark.index.ivf import load_ivf
         from filter_vectordb_spark.registry import _index_cache_dir, _is_built
 
-        if int(self.index_params.get("nlist", 16)) != 16:
-            return False
-        out = _index_cache_dir(sf_dir, "ivf16")
+        nlist = int(self.index_params.get("nlist", 16))
+        out = _index_cache_dir(self._cache_key(sf_dir), f"ivf{nlist}")
         if not _is_built(f"{out}/assignments", f"{out}/centroids"):
             return False
         self.assignments, self.centroids = load_ivf(spark, out)
-        self.nlist = 16
+        self.nlist = nlist
         return True
 
     def query(self, queries: DataFrame, k: int) -> DataFrame:
@@ -65,9 +79,32 @@ class FilteredEngine(BaseEngine):
 
     name = "filtered"
 
+    def _tagged_base(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The router needs tags+sig riding with the vectors; the synth
+        fixture stages its tagged form once alongside (id, emb)."""
+        if self.index_params.get("source") == "synth100k":
+            from filter_vectordb_spark.registry import _index_cache_dir, _is_built
+            from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+            out = _index_cache_dir("synth100k_v2", "base_tagged")
+            if not _is_built(out):
+                synth_uint8_base(spark).write.mode("overwrite").parquet(out)
+            return spark.read.parquet(out)
+        return dense_vectors(spark, sf_dir)
+
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
-        self.base = dense_vectors(spark, sf_dir)
+        self.base = self._tagged_base(spark, sf_dir)
         self.n_base = self.base.count()
+
+    def default_queries(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.index_params.get("source") == "synth100k":
+            from filter_vectordb_spark.sources.synth import synth_queries
+
+            nq = int(self.index_params.get("nq", 256))
+            return synth_queries(spark, nq=nq)
+        from filter_vectordb_spark.sources.vectors import dense_queries
+
+        return dense_queries(spark, sf_dir)
 
     def query(self, queries: DataFrame, k: int) -> DataFrame:
         mt = float(self.query_args.get("mt_threshold", 0.01))
@@ -89,7 +126,7 @@ class LSHEngine(BaseEngine):
     name = "lsh"
 
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
-        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.base = self._base_source(spark, sf_dir)
         self.dim = len(self.base.select("emb").first()[0])
 
     def query(self, queries: DataFrame, k: int) -> DataFrame:
@@ -99,6 +136,14 @@ class LSHEngine(BaseEngine):
         return lsh_cosine_knn(queries, self.base, k, self.dim, seed=seed).select(
             "qid", "id", "rank"
         )
+
+    def exact_truth(self, spark, sf_dir, queries, k):
+        """LSH answers COSINE top-k — its recall must be judged against
+        the cosine ground truth, not the engine-default L2 one."""
+        from filter_vectordb_spark.operators.knn import knn_join
+
+        base = self._base_source(spark, sf_dir)
+        return knn_join(queries, base, k, metric="cos").select("qid", "id")
 
 
 class SparseEngine(BaseEngine):
@@ -151,7 +196,7 @@ class PQEngine(BaseEngine):
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
         from filter_vectordb_spark.index.pq import encode_pq, train_pq
 
-        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.base = self._base_source(spark, sf_dir)
         nsub = int(self.index_params.get("nsub", 32))
         ksub = int(self.index_params.get("ksub", 64))
         self.codebooks = train_pq(self.base, nsub=nsub, ksub=ksub)
@@ -168,10 +213,10 @@ class PQEngine(BaseEngine):
             or int(self.index_params.get("ksub", 64)) != 64
         ):
             return False
-        out = _index_cache_dir(sf_dir, "pq32x64")
+        out = _index_cache_dir(self._cache_key(sf_dir), "pq32x64")
         if not _is_built(f"{out}/codes", f"{out}/codebooks"):
             return False
-        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.base = self._base_source(spark, sf_dir)
         self.codes, self.codebooks = load_pq(spark, out)
         return True
 
@@ -193,7 +238,7 @@ class SQEngine(BaseEngine):
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
         from filter_vectordb_spark.index.sq import encode_sq, train_sq
 
-        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.base = self._base_source(spark, sf_dir)
         self.vmin, self.vmax = train_sq(self.base)
         self.codes = encode_sq(self.base, self.vmin, self.vmax).localCheckpoint()
 
@@ -203,10 +248,10 @@ class SQEngine(BaseEngine):
         from filter_vectordb_spark.index.sq import load_sq
         from filter_vectordb_spark.registry import _index_cache_dir, _is_built
 
-        out = _index_cache_dir(sf_dir, "sq8")
+        out = _index_cache_dir(self._cache_key(sf_dir), "sq8")
         if not _is_built(f"{out}/codes", f"{out}/grid"):
             return False
-        self.base = dense_vectors(spark, sf_dir).select("id", "emb")
+        self.base = self._base_source(spark, sf_dir)
         self.codes, self.vmin, self.vmax = load_sq(spark, out)
         return True
 
@@ -216,6 +261,80 @@ class SQEngine(BaseEngine):
         refine = int(self.query_args.get("refine", 4 * k))
         return sq_search(
             queries, self.codes, self.vmin, self.vmax, self.base, k, refine
+        )
+
+
+class IVFSQEngine(BaseEngine):
+    """IVF+SQ8 composed index (index/ivfsq.py — the reference's exact
+    faiss indexkey `IVF…,SQ8`); query knobs: nprobe (scan fraction) and
+    refine (exact-rescore cut) — the same dials the reference sweeps."""
+
+    name = "ivfsq"
+
+    def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        from filter_vectordb_spark.index.ivfsq import (
+            build_ivfsq,
+            load_ivfsq,
+            save_ivfsq,
+        )
+        from filter_vectordb_spark.registry import _index_cache_dir
+
+        nlist = int(self.index_params.get("nlist", 16))
+        self.base = self._base_source(spark, sf_dir)
+        ivf_out = _index_cache_dir(self._cache_key(sf_dir), f"ivf{nlist}")
+        from filter_vectordb_spark.registry import _is_built
+
+        if _is_built(f"{ivf_out}/assignments", f"{ivf_out}/centroids"):
+            # share the coarse clustering with a same-nlist IVF build
+            # (k-means is the expensive half; the SQ grid+codes are cheap)
+            from filter_vectordb_spark.index.ivf import load_ivf
+            from filter_vectordb_spark.index.sq import encode_sq, train_sq
+
+            assignments, centroids = load_ivf(spark, ivf_out)
+            vmin, vmax = train_sq(self.base)
+            codes = encode_sq(self.base, vmin, vmax)
+            entries = assignments.select("id", "centroid_id").join(codes, "id")
+        else:
+            entries, centroids, vmin, vmax = build_ivfsq(
+                self.base,
+                nlist=nlist,
+                max_iter=int(self.index_params.get("max_iter", 8)),
+                train_rows=self.index_params.get("train_rows"),
+            )
+        out = _index_cache_dir(self._cache_key(sf_dir), f"ivfsq{nlist}")
+        save_ivfsq(entries, centroids, vmin, vmax, out)
+        self.entries, self.centroids, self.vmin, self.vmax = load_ivfsq(spark, out)
+        self.nlist = nlist
+
+    def load_index(self, spark: SparkSession, sf_dir: str) -> bool:
+        from filter_vectordb_spark.index.ivfsq import load_ivfsq
+        from filter_vectordb_spark.registry import _index_cache_dir, _is_built
+
+        nlist = int(self.index_params.get("nlist", 16))
+        out = _index_cache_dir(self._cache_key(sf_dir), f"ivfsq{nlist}")
+        if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
+            return False
+        self.base = self._base_source(spark, sf_dir)
+        self.entries, self.centroids, self.vmin, self.vmax = load_ivfsq(spark, out)
+        self.nlist = nlist
+        return True
+
+    def query(self, queries: DataFrame, k: int) -> DataFrame:
+        from filter_vectordb_spark.index.ivfsq import ivfsq_search
+
+        nprobe = int(self.query_args.get("nprobe", self.nlist))
+        refine = int(self.query_args.get("refine", 4 * k))
+        return ivfsq_search(
+            queries,
+            self.entries,
+            self.centroids,
+            self.vmin,
+            self.vmax,
+            self.base,
+            k,
+            nprobe,
+            refine,
+            metric=self.metric if self.metric in ("l2", "ip") else "l2",
         )
 
 
@@ -229,5 +348,6 @@ ENGINES = {
         SparseEngine,
         PQEngine,
         SQEngine,
+        IVFSQEngine,
     )
 }

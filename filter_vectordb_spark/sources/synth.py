@@ -12,6 +12,16 @@ allows.
 Values are a Knuth-multiplicative-hash pattern: distance work is
 data-independent, generation is vectorized and instant, and every value
 is recomputable anywhere (no RNG state to ship).
+
+Generator v2 (round 5): the v1 pattern `(id·K1 + j·K2 + (id>>7)) % 251`
+was rank-deficient — each row was fully determined by
+`(id·K1 + (id>>7)) mod 251`, so the "100k" corpus contained only 251
+DISTINCT vectors, each repeated ~400×.  That made every ANN measurement
+on it degenerate (IVF recall trivially 1.0 — the top-k were copies of
+one vector) and top-k tie-breaking ill-defined.  v2 XORs a per-(id,j)
+cross term before the modulus, giving 100k fully distinct rows with
+uniform-ish marginals; it stays closed-form and SQL-recomputable (the
+DuckDB oracle of filtered_knn_100k_nq32 regenerates it exactly).
 """
 
 from __future__ import annotations
@@ -30,13 +40,20 @@ SCALE_NQ = 8_192
 
 _K1 = 2654435761
 _K2 = 40503
+_K3 = 2246822519  # v2 cross-term multiplier (xxhash prime)
+
+#: bump when the generator changes — cache keys embed it so stale
+#: synth-index caches from an older generator can never serve
+SYNTH_VERSION = "v2"
 
 
 def synth_uint8_base(
     spark: SparkSession, n: int = SCALE_N, d: int = SCALE_D
 ) -> DataFrame:
     """(id, emb ARRAY<INT> in 0..250, tags ARRAY<INT>, sig BIGINT) —
-    generated partition-parallel; ~19 MB of vector payload at defaults."""
+    generated partition-parallel; ~19 MB of vector payload at defaults.
+    v2 pattern: ((id·K1 XOR (j+1)·K3) >> 11) % 251 — all rows distinct
+    (see module docstring for the v1 rank-251 flaw this fixes)."""
 
     def gen(it):
         import pandas as pd
@@ -44,9 +61,8 @@ def synth_uint8_base(
         js = np.arange(d, dtype=np.int64)
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            E = ((ids[:, None] * _K1 + js[None, :] * _K2 + (ids[:, None] >> 7)) % 251).astype(
-                np.int32
-            )
+            H = (ids[:, None] * _K1) ^ ((js[None, :] + 1) * _K3)
+            E = ((H >> 11) % 251).astype(np.int32)
             yield pd.DataFrame({"id": ids, "emb": list(E)})
 
     base = (

@@ -198,3 +198,15 @@ def test_eval_contamination_joins_on_gram_no_cartesian(spark):
 
     df = registry.QUERIES["eval_contamination"](spark, SF_DIR)
     assert_no_cartesian(df)
+
+
+def test_substring_windows_hashed_shuffles_on_8byte_key(spark):
+    """The 100 TB substring-dedup variant must shuffle on xxhash64(win)
+    (8-byte key), never on the raw window string — and the string column
+    must not survive past the scan projection."""
+    from filter_vectordb_spark.registry import QUERIES
+
+    df = QUERIES["dedup_substring_windows_hashed"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "hashpartitioning(win_h" in plan, plan
+    assert "hashpartitioning(win#" not in plan and "hashpartitioning(win," not in plan

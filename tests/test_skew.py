@@ -50,3 +50,89 @@ def test_replicated_join_matches_plain(spark):
     p = {r["o_orderstatus"]: r["count"] for r in plain.collect()}
     s = {r["o_orderstatus"]: r["count"] for r in skewed.collect()}
     assert p == s
+
+
+def test_tag_pair_hot_pair_salted_build(spark, tmp_path):
+    """VERDICT r4 #3: a pair above split_rows must be written as >1 file
+    (>1 task at build AND at scan), with results identical to the
+    unsalted build — the per-batch partial top-k + W3 merge absorb the
+    split."""
+    import glob
+
+    from filter_vectordb_spark.index.tagpart import (
+        build_tag_pair_partitions,
+        tag_pair_knn,
+    )
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    base = dense_vectors(spark, SF_DIR)
+    q = dense_queries(spark, SF_DIR).select(
+        "qid",
+        "qemb",
+        F.least(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_a"),
+        F.greatest(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_b"),
+    )
+    plain_dir = str(tmp_path / "plain")
+    salted_dir = str(tmp_path / "salted")
+    build_tag_pair_partitions(base, plain_dir, min_freq=0.0)  # no pair splits
+    # split_rows=8: every pair above 8 rows becomes a multi-file pair
+    build_tag_pair_partitions(base, salted_dir, min_freq=0.0, split_rows=8)
+    # the hottest pair directory must hold >1 data file after salting
+    pair_dirs = glob.glob(f"{salted_dir}/tag_a=*/tag_b=*")
+    max_files = max(
+        len(glob.glob(f"{d}/*.parquet")) for d in pair_dirs
+    )
+    assert max_files > 1, "hot pair not split across tasks"
+    want = (
+        tag_pair_knn(spark, plain_dir, q, 5)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    got = (
+        tag_pair_knn(spark, salted_dir, q, 5)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_tag_pair_knn_chunks_above_broadcast_cap(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #2: the flagship scale route must chunk-and-union above
+    the broadcast cap instead of raising — parity with single-shot."""
+    from filter_vectordb_spark.index.tagpart import (
+        build_tag_pair_partitions,
+        tag_pair_knn,
+    )
+    from filter_vectordb_spark.operators import knn as knn_mod
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    base = dense_vectors(spark, SF_DIR)
+    q = dense_queries(spark, SF_DIR).select(
+        "qid",
+        "qemb",
+        F.least(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_a"),
+        F.greatest(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_b"),
+    )
+    out = str(tmp_path / "tp")
+    # min_freq high enough that some pairs MISS (fallback path included)
+    build_tag_pair_partitions(base, out, min_freq=0.01)
+    want = (
+        tag_pair_knn(spark, out, q, 5, base=base)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = (
+        tag_pair_knn(spark, out, q, 5, base=base)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)

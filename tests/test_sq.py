@@ -205,3 +205,77 @@ def test_sq_search_empty_query_set_returns_empty(spark, base, codes, grid):
     res = sq_search(empty_q, codes, *grid, base, K, refine=64)
     assert res.count() == 0
     assert set(res.columns) == {"qid", "id", "dist", "rank"}
+
+
+def test_ivfsq_ip_full_probe_equals_exact(spark):
+    """metric='ip' (the OOD track's MIPS): full probe + exact rescore must
+    equal brute-force IP k-NN — centroid ranking and score ordering flip
+    together (faiss METRIC_INNER_PRODUCT semantics)."""
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq, ivfsq_search
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+
+    base = synth_uint8_base(spark, n=2000).select("id", "emb").localCheckpoint()
+    q = synth_queries(spark, nq=16).select("qid", "qemb")
+    entries, centroids, vmin, vmax = build_ivfsq(base, nlist=8)
+    res = ivfsq_search(
+        q, entries, centroids, vmin, vmax, base, K, nprobe=8, refine=64, metric="ip"
+    ).select("qid", "rank", "id")
+    exact = knn_join(q, base, K, metric="ip").select("qid", "rank", "id")
+    assert res.exceptAll(exact).count() == 0 and exact.exceptAll(res).count() == 0
+
+
+def test_ivfsq_ip_chunks_above_broadcast_cap(spark, monkeypatch):
+    """ivfsq_search must chunk-and-union above the broadcast cap (the
+    ADVICE r4 item): parity with the single-shot run."""
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq, ivfsq_search
+    from filter_vectordb_spark.operators import knn as knn_mod
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+
+    base = synth_uint8_base(spark, n=1000).select("id", "emb").localCheckpoint()
+    q = synth_queries(spark, nq=10).select("qid", "qemb")
+    entries, centroids, vmin, vmax = build_ivfsq(base, nlist=4)
+    want = ivfsq_search(
+        q, entries, centroids, vmin, vmax, base, K, nprobe=2, refine=32, metric="ip"
+    ).select("qid", "rank", "id")
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = ivfsq_search(
+        q, entries, centroids, vmin, vmax, base, K, nprobe=2, refine=32, metric="ip"
+    ).select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_ivfsq_ip_1m_recall(spark):
+    """THE operating-point pin (VERDICT r4 #1): the registered
+    knn_ip_1m_ivfsq row (1M × 192-d, nlist=256 sample-trained, nprobe=32,
+    refine=32) must hold tie-aware recall@10 ≥ 0.9 against brute force —
+    the reference's recall-gated QPS methodology (BASELINE row 3 gates
+    DiskANN's 4,882 QPS at ≥90% recall).  Tie-aware: a returned id
+    counts as a hit when its TRUE score ties-or-beats the true 10th
+    score (big-ann-benchmarks' convention — integer IP scores tie).
+    Ground truth is recomputed in numpy from the closed-form generator,
+    sampled every 32nd query (64 queries).  Uses the registry's cached
+    index (builds once per machine)."""
+    from filter_vectordb_spark import registry
+
+    res = registry.QUERIES["knn_ip_1m_ivfsq"](spark, SF_DIR).toPandas()
+    got: dict[int, list[int]] = {}
+    for r in res.itertuples():
+        got.setdefault(r.qid, []).append(r.id)
+
+    K1, K3 = 2654435761, 2246822519
+    n, d = 1_000_000, 192
+    ids = np.arange(n, dtype=np.int64)
+    js = np.arange(d, dtype=np.int64)
+    X = ((((ids[:, None] * K1) ^ ((js[None, :] + 1) * K3)) >> 11) % 251).astype(
+        np.float64
+    )
+    qids = list(range(0, 2048, 32))
+    G = X @ X[qids].T  # (1M, 64)
+    rec = 0.0
+    for col, qid in enumerate(qids):
+        g = G[:, col]
+        kth = np.sort(g)[-K]
+        assert len(got[qid]) == K
+        rec += (g[np.asarray(got[qid])] >= kth).sum() / K
+    rec /= len(qids)
+    assert rec >= 0.9, f"tie-aware recall@10 {rec:.4f} < 0.9"
