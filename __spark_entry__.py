@@ -30,63 +30,65 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # unchecked since r1/r2 (VERDICT r3 "driver-invisible" list)
-    "dedup_jaccard_pairs",
-    "dedup_minhash",
-    "dedup_minhash_clusters",
-    "dedup_simhash",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "media_features",
-    "media_frame_sample",
-    "uint8_knn",
-    "binfmt_roundtrip",
-    "binfmt_fetch_roundtrip",
-    "lsh_cosine_knn",
-    "range_search_uint8",
-    "tag_pair_doc_freq",
-    "dedup_filtered_corpus",
-    "knn_l2_batch",
-    "q4_order_priority",
-    "customer_running_total",
-    "sparse_csr_roundtrip",
+    # new this round (r5): the sub-linear OOD operating point + its exact
+    # anchor, the flagship route's first hash-checked scale row, the
+    # hashed substring-dedup scale variant, and the 100k recall/QPS curve
+    "knn_ip_1m_ivfsq",
+    "knn_ip_1m",
+    "filtered_knn_100k_nq32",
+    "dedup_substring_windows_hashed",
+    "recall_qps_curve_100k",
+    # r4-invisible (no CORRECTNESS_r04 row — rotated back per VERDICT r4 #8)
+    "tag_doc_freq",
+    "dedup_exact",
+    "hybrid_rrf_search",
+    "streaming_dedup",
+    "knn_cosine",
+    "knn_l2_expr",
+    "posting_intersection",
+    "posting_union",
+    "knn_result_matrix",
+    "recall_at_k",
+    "results_sink_roundtrip",
+    "tag_signatures",
+    "vector_norms",
+    "sparse_mips_alpha",
+    "sparse_mips_budget",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast",
+    "top_parts_per_brand",
+    "events_sessionize",
+    "orders_priority_rollup",
+    "doc_fingerprint",
+    "token_stats",
+    "text_quality",
+    "token_stats_bpe",
+    "lang_id_ngram",
+    "corpus_split",
+    "corpus_token_quantiles",
+    "corpus_stratified_sample",
+    # changed this round (tagpart chunk-and-union + skew salting, ivfsq
+    # chunking, synth v2 fixtures, eval-contamination guard, harness
+    # engine caches, knn.py streaming chunks) — must re-green
+    "filtered_knn_router",
     "filtered_knn_100k",
     "knn_ip_100k",
     "sparse_mips_100k",
-    # new this round
-    "sq_knn",
+    "tag_pair_partition_knn",
+    "tag_partition_knn",
     "ivfsq_knn",
-    "recall_qps_curve",
-    "text_repetition",
+    "sq_knn",
     "eval_contamination",
-    "pii_scrub",
-    "corpus_mix_allocation",
     "dedup_substring_windows",
-    # changed this round (cache fix, timezone scoping, oracle hardening,
-    # broadcast-cap chunking) — must re-green
-    "filtered_knn_router",
-    "filtered_knn_meta",
-    "filtered_knn_scan",
+    "recall_qps_curve",
+    "lsh_cosine_knn",
     "filtered_knn_sig",
     "knn_l2",
     "knn_ip",
-    "streaming_delete_replay",
-    "streaming_replay",
-    "streaming_clustered_replay",
-    "events_hourly",
-    "events_hourly_stream",
-    "events_asof_join",
-    "signup_click_conversion",
-    "sparse_mips",
-    "ivf_full_probe",
-    "pq_adc_knn",
-    "ivfpq_knn",
-    "ivf_incremental_search",
-    "tag_partition_knn",
-    "tag_pair_partition_knn",
-    # knn_l2_expr / knn_cosine / sparse_mips_alpha / sparse_mips_budget /
-    # events_sessionize are represented by in-sample siblings sharing
-    # their plans and oracles; they stay registered and pytest-checked.
+    # every other query was driver-green in r4 (CORRECTNESS_r04) and
+    # stays registered + pytest-checked; it re-enters the sample in r6.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

@@ -26,10 +26,17 @@ RUN_COUNT = int(os.environ.get("SPARK_GRAFT_RUN_COUNT", "2"))
 # (r2 lesson: at 8s, one noisy 11.9s run of filtered_knn_router became
 # the recorded number with no second chance.)
 RERUN_BELOW_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_BELOW_SEC", "20.0"))
-# the 100k scale points amplify host-load noise (minutes of compute in
-# one job) — always take min-of-RUN_COUNT for them even past the
-# threshold, so one noisy window doesn't become the recorded number
-ALWAYS_RERUN = {"filtered_knn_100k", "sparse_mips_100k"}
+# the 100k/1M scale points amplify host-load noise (minutes of compute
+# in one job) — always take min-of-SCALE_RUN_COUNT for them even past
+# the threshold, and record every run so a regression is
+# distinguishable from one noisy window (VERDICT r4 #9)
+ALWAYS_RERUN = {
+    "filtered_knn_100k",
+    "sparse_mips_100k",
+    "knn_ip_1m",
+    "knn_ip_1m_ivfsq",
+}
+SCALE_RUN_COUNT = int(os.environ.get("SPARK_GRAFT_SCALE_RUN_COUNT", "3"))
 
 BENCH_QUERIES = [
     "knn_l2",
@@ -69,6 +76,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "corpus_mix_allocation",
     "dedup_substring_windows",
+    "dedup_substring_windows_hashed",
     "lang_id_ngram",
     "media_features",
     "uint8_knn",
@@ -88,11 +96,17 @@ BENCH_QUERIES = [
     "streaming_dedup",
     "filtered_knn_100k",
     "sparse_mips_100k",
+    # the OOD pair (VERDICT r4 #1): exact 1M scan anchor vs the
+    # sub-linear IVF+SQ8 serving path — adjacent so the throughput
+    # multiple is read straight off the bench line; both best-of-3 with
+    # per-run times recorded (see "runs" in the output)
+    "knn_ip_1m",
+    "knn_ip_1m_ivfsq",
     # knn_ip_100k (BASELINE row-3 point) is correctness-gated but NOT
     # benched: its one long BLAS job amplifies host-load noise 5-10x
     # (measured 6-15s clean vs 45-78s under steal bursts), which would
-    # make the recorded number environment, not plan; docs/RESULTS_r2.md
-    # records the standalone measurement
+    # make the recorded number environment, not plan; knn_ip_1m above is
+    # the bigger, less-constant-dominated version of the same anchor
     "events_hourly_stream",
     # embedding_near_dup_lsh is correctness-gated but not benched: at
     # τ=0.45 hyperplane buckets barely prune (63° pairs collide in most
@@ -130,14 +144,21 @@ def main() -> None:
         "filtered_knn_100k",
         "streaming_clustered_replay",
         "sparse_mips_100k",
+        "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
         # not an index build: first stateful-stream start pays one-time
         # Python worker + state-store spin-up (~10s); warm it so the
         # timed entry measures the stream, not engine init
         "streaming_dedup",
     ):
+        t0 = time.perf_counter()
         registry.QUERIES[warm](spark, sf_dir).count()
+        print(
+            f"bench: warm {warm} {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}  # per-run times for the scale points
     for name in BENCH_QUERIES:
         fn = registry.QUERIES.get(name)
         if fn is None:
@@ -160,13 +181,18 @@ def main() -> None:
             # bounded (driver timeout) — long queries keep their first
             # warm measurement.
             best = float("inf")
-            for _ in range(RUN_COUNT):
+            n_runs = SCALE_RUN_COUNT if name in ALWAYS_RERUN else RUN_COUNT
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-                if best >= RERUN_BELOW_SEC and name not in ALWAYS_RERUN:
+                dt = time.perf_counter() - t0
+                best = min(best, dt)
+                if name in ALWAYS_RERUN:
+                    runs.setdefault(name, []).append(round(dt, 3))
+                elif best >= RERUN_BELOW_SEC:
                     break
             timings[name] = round(best, 3)
+            print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # keep the bench line emittable
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -178,6 +204,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
