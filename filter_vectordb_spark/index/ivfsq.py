@@ -26,10 +26,7 @@ step per component, so refine=64 has margin; pinned in tests/test_sq.py).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,14 +73,93 @@ def save_ivfsq(
     ).parquet(f"{out_dir}/entries")
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
     write_grid(entries.sparkSession, vmin, vmax, f"{out_dir}/grid")
+    # a rebuild invalidates any loaded metadata for this path
+    for key in [k for k in _LOAD_CACHE if k[1] == out_dir]:
+        del _LOAD_CACHE[key]
+
+
+#: per-session memo of loaded index metadata — a serving path re-reading
+#: the centroid/grid tables per query batch pays 2-3 small Spark jobs of
+#: pure overhead (the reference loads its index once, then serves:
+#: `ood/diskann/diskann-in-mem.py:159-163`)
+_LOAD_CACHE: dict = {}
 
 
 def load_ivfsq(spark: SparkSession, out_dir: str):
     from filter_vectordb_spark.index.sq import read_grid
 
-    entries = spark.read.parquet(f"{out_dir}/entries")
-    centroids = spark.read.parquet(f"{out_dir}/centroids")
-    return (entries, centroids, *read_grid(spark, f"{out_dir}/grid"))
+    key = (spark.sparkContext.applicationId, out_dir)
+    hit = _LOAD_CACHE.get(key)
+    if hit is None:
+        entries = spark.read.parquet(f"{out_dir}/entries")
+        centroids = spark.read.parquet(f"{out_dir}/centroids")
+        hit = (entries, centroids, *read_grid(spark, f"{out_dir}/grid"))
+        _LOAD_CACHE[key] = hit
+    return hit
+
+
+def _probe_map(
+    chunk_pdf, C: np.ndarray, cids: np.ndarray, nprobe: int, metric: str
+) -> tuple[np.ndarray, np.ndarray, dict[int, np.ndarray]]:
+    """(qids, Q, {centroid_id → probing query positions}) — the driver-side
+    centroid ranking (nlist × d work, tiny by construction)."""
+    qids_np = chunk_pdf["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(chunk_pdf["qemb"].to_numpy()).astype(np.float64)
+    if metric == "ip":
+        # faiss METRIC_INNER_PRODUCT ranks lists by centroid IP descending
+        rank = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    else:
+        d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        rank = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_map: dict[int, list] = {}
+    for qi, row in enumerate(rank):
+        for j in row:
+            probe_map.setdefault(int(cids[j]), []).append(qi)
+    return (
+        qids_np,
+        Q,
+        {c: np.asarray(v, dtype=np.int64) for c, v in probe_map.items()},
+    )
+
+
+def _score_group(ids, codes, pos, bQ, lo32, scale32, metric, refine):
+    """Decode one list's codes and ADC-score it against its probing
+    queries; returns (qpos-expanded qids-index arrays) partial top-refine."""
+    from filter_vectordb_spark.operators.knn import topk_blocked
+
+    M = codes.astype(np.float32) + np.float32(128.0)
+    Xd = lo32[None, :] + M * scale32[None, :]  # decode ONCE per group
+    Qp = bQ[pos]
+    G = Qp @ Xd.T  # (nq_probing, nb_group), C-contiguous
+    if metric == "ip":
+        D = G
+        key = -D
+    else:
+        D = (Qp * Qp).sum(1)[:, None] - 2.0 * G + (Xd * Xd).sum(1)[None, :]
+        np.maximum(D, np.float32(0.0), out=D)
+        key = D
+    part = topk_blocked(key, refine)
+    qrows = np.arange(len(pos))[:, None]
+    return (
+        np.repeat(pos, part.shape[1]),
+        ids[part].ravel(),
+        D[qrows, part].ravel().astype(np.float64),
+    )
+
+
+def _task_merge(bqids, out_q, out_i, out_d, refine, metric):
+    """Per-qid top-`refine` over a task's accumulated partials — bounds
+    the merge shuffle at nq×refine per task (see task_topk_merge)."""
+    from filter_vectordb_spark.operators.knn import task_topk_merge
+
+    return task_topk_merge(
+        bqids[np.concatenate(out_q)],
+        np.concatenate(out_i),
+        np.concatenate(out_d),
+        refine,
+        largest=metric == "ip",
+        col="adist",
+    )
 
 
 def _ivfsq_score_chunk(
@@ -102,24 +178,18 @@ def _ivfsq_score_chunk(
     every chunk query probing its list — not the probe-pair join shape,
     which duplicates the codes per probing query), emit per-batch partial
     top-`refine` per query."""
-    qids_np = chunk_pdf["qid"].to_numpy(dtype=np.int64)
-    Q = np.stack(chunk_pdf["qemb"].to_numpy()).astype(np.float64)
-    if metric == "ip":
-        # faiss METRIC_INNER_PRODUCT ranks lists by centroid IP descending
-        rank = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
-    else:
-        d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
-        rank = np.argsort(d2, axis=1)[:, :nprobe]
-    probe_map: dict[int, np.ndarray] = {}
-    for qi, row in enumerate(rank):
-        for j in row:
-            probe_map.setdefault(int(cids[j]), []).append(qi)
-    probe_map = {c: np.asarray(v, dtype=np.int64) for c, v in probe_map.items()}
+    qids_np, Q, probe_map = _probe_map(chunk_pdf, C, cids, nprobe, metric)
 
-    scale = _scales(vmin, vmax)
-    lo = vmin.copy()
+    # float32 decode + GEMM: ~30× faster than float64 on this host's
+    # OpenBLAS (502 vs 16 GFLOPS measured) and safe here by design — the
+    # ADC stage only nominates `refine` candidates whose margin is set by
+    # SQ8 quantization error (≥ half a grid step per component), orders of
+    # magnitude above float32 rounding; survivors are exact-rescored in
+    # float64 downstream (ivfsq_search), so final ranks never see adist.
+    scale32 = _scales(vmin, vmax).astype(np.float32)
+    lo32 = vmin.astype(np.float32)
     spark = entries.sparkSession
-    bc = spark.sparkContext.broadcast((qids_np, Q, probe_map))
+    bc = spark.sparkContext.broadcast((qids_np, Q.astype(np.float32), probe_map))
 
     # static IN-list on the partition column (≤ nlist ints — plan-size
     # safe) → static partition pruning on the entries scan, codes only
@@ -128,50 +198,123 @@ def _ivfsq_score_chunk(
         "centroid_id", "id", "codes"
     )
 
-    def recon(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def recon(it):
+        from filter_vectordb_spark.operators.knn import flatten_fixed_list
+
         bqids, bQ, groups = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
+        # accumulate per-group partials and emit ONE per-task top-`refine`
+        # per query at iterator end: a task covering g lists would
+        # otherwise ship g×nq_probing×refine rows into the merge shuffle
+        # (1.9M at the 1M bench point — the shuffle, not the BLAS, then
+        # dominates); the task-level cut bounds it at nq×refine per task
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
-            out = []
-            for cid, grp in pdf.groupby("centroid_id"):
+            all_ids = batch.column("id").to_numpy(zero_copy_only=False)
+            codes = flatten_fixed_list(batch.column("codes"), nb)
+            cid_col = batch.column("centroid_id").to_numpy(zero_copy_only=False)
+            # partitionBy layout → batches are usually single-list, where
+            # the stable argsort is a ~free identity pass; it also handles
+            # the coalesced multi-file case
+            order = np.argsort(cid_col, kind="stable")
+            bounds = np.flatnonzero(np.diff(cid_col[order])) + 1
+            for grp in np.split(order, bounds):
+                pos = groups.get(int(cid_col[grp[0]]))
+                if pos is None:
+                    continue
+                oq, oi, od = _score_group(
+                    all_ids[grp], codes[grp], pos, bQ, lo32, scale32, metric, refine
+                )
+                out_q.append(oq)
+                out_i.append(oi)
+                out_d.append(od)
+        if out_q:
+            yield _task_merge(bqids, out_q, out_i, out_d, refine, metric)
+
+    return cand.mapInArrow(recon, schema="qid long, id long, adist double")
+
+
+def _ivfsq_score_chunk_direct(
+    chunk_pdf,
+    spark: SparkSession,
+    entries_dir: str,
+    C: np.ndarray,
+    cids: np.ndarray,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    nprobe: int,
+    refine: int,
+    metric: str,
+) -> DataFrame:
+    """Direct-read variant of _ivfsq_score_chunk — the reference's
+    load-then-serve cost model (`ood/diskann/diskann-in-mem.py:80-106`
+    serves from a loaded index; BASELINE QPS excludes load).
+
+    The entries scan through the JVM ships every code byte over the
+    executor↔Python Arrow socket per query batch — measured 4-24 s for
+    the 1M-point index BEFORE any math, the serving path's floor.  Here
+    the task list is the probed lists' parquet FILES (driver-side glob —
+    metadata only, one path per list dir by construction of save_ivfsq);
+    each task opens its files with pyarrow directly from shared storage,
+    so bytes move disk/page-cache → Python once, with no JVM hop, and
+    repeat queries serve from the OS page cache — resident-index
+    semantics without per-worker state (works across worker processes
+    and runs).  File-level pruning is exact: only probed lists' files
+    are listed at all (nprobe/nlist of the corpus at small nq), where
+    the DataFrame route prunes partitions but still ships whole probed
+    partitions per batch."""
+    import glob as _glob
+
+    qids_np, Q, probe_map = _probe_map(chunk_pdf, C, cids, nprobe, metric)
+    scale32 = _scales(vmin, vmax).astype(np.float32)
+    lo32 = vmin.astype(np.float32)
+    bc = spark.sparkContext.broadcast(
+        (qids_np, Q.astype(np.float32), probe_map)
+    )
+
+    files = []
+    for cid in sorted(probe_map):
+        hits = sorted(_glob.glob(f"{entries_dir}/centroid_id={cid}/*.parquet"))
+        if not hits:
+            raise FileNotFoundError(
+                f"no parquet for probed list {cid} under {entries_dir}"
+            )
+        files.extend((p, cid) for p in hits)
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame(files, "path STRING, cid INT").repartition(par)
+
+    def serve(it):
+        import pyarrow.parquet as pq
+
+        from filter_vectordb_spark.operators.knn import flatten_fixed_list
+
+        bqids, bQ, groups = bc.value
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            paths = batch.column("path").to_pylist()
+            task_cids = batch.column("cid").to_pylist()
+            for path, cid in zip(paths, task_cids):
                 pos = groups.get(int(cid))
                 if pos is None:
                     continue
-                ids = grp["id"].to_numpy(dtype=np.int64)
-                M = np.stack(grp["codes"].to_numpy()).astype(np.float64) + 128.0
-                Xd = lo[None, :] + M * scale[None, :]  # decode ONCE per group
-                G = Xd @ bQ[pos].T  # (nb, nq_probing)
-                if metric == "ip":
-                    D = G
-                    keyT = np.ascontiguousarray(-D.T)
-                else:
-                    D = (
-                        (Xd * Xd).sum(1)[:, None]
-                        - 2.0 * G
-                        + (bQ[pos] * bQ[pos]).sum(1)[None, :]
-                    )
-                    np.maximum(D, 0.0, out=D)
-                    keyT = np.ascontiguousarray(D.T)
-                kk = min(refine, len(ids))
-                if kk < len(ids):
-                    part = np.argpartition(keyT, kk - 1, axis=1)[:, :kk]
-                else:
-                    part = np.tile(np.arange(len(ids))[None, :], (len(pos), 1))
-                qrows = np.arange(len(pos))[:, None]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.repeat(bqids[pos], part.shape[1]),
-                            "id": ids[part].ravel(),
-                            "adist": D.T[qrows, part].ravel(),
-                        }
-                    )
+                tbl = pq.read_table(path, columns=["id", "codes"])
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                ids = tbl.column("id").to_numpy(zero_copy_only=False)
+                codes = flatten_fixed_list(tbl.column("codes"), n)
+                oq, oi, od = _score_group(
+                    ids, codes, pos, bQ, lo32, scale32, metric, refine
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                out_q.append(oq)
+                out_i.append(oi)
+                out_d.append(od)
+        if out_q:
+            yield _task_merge(bqids, out_q, out_i, out_d, refine, metric)
 
-    return cand.mapInPandas(recon, schema="qid long, id long, adist double")
+    return fdf.mapInArrow(serve, schema="qid long, id long, adist double")
 
 
 def ivfsq_search(
@@ -187,13 +330,17 @@ def ivfsq_search(
     metric: str = "l2",
     q_id: str = "qid",
     q_vec: str = "qemb",
+    entries_dir: str | None = None,
 ) -> DataFrame:
     """Probe `nprobe` lists per query, reconstruction-score only their
     codes, cut to `refine`, exact-rescore survivors.  metric ∈ {l2, ip}
     (ip = the OOD track's MIPS; centroid ranking and score ordering flip
     together, as in faiss METRIC_INNER_PRODUCT).  Above the broadcast
     cap the query set chunk-and-unions through union_query_chunks_df —
-    driver and executor memory stay O(chunk).  Returns
+    driver and executor memory stay O(chunk).  With `entries_dir` (the
+    saved index's `<out>/entries` path) the probed lists are read
+    directly with pyarrow in the tasks — identical results, serving-path
+    cost model (see _ivfsq_score_chunk_direct).  Returns
     (qid, id, dist, rank)."""
     if metric not in ("l2", "ip"):
         raise ValueError("metric must be 'l2' or 'ip'")
@@ -205,12 +352,19 @@ def ivfsq_search(
     cpdf = centroids.toPandas()  # nlist rows — tiny by construction
     C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
     cids = cpdf["centroid_id"].to_numpy()
+    spark = entries.sparkSession
     q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
+    if entries_dir is not None:
+        score_chunk = lambda ch: _ivfsq_score_chunk_direct(  # noqa: E731
+            ch, spark, entries_dir, C, cids, vmin, vmax, nprobe, refine, metric
+        )
+    else:
+        score_chunk = lambda ch: _ivfsq_score_chunk(  # noqa: E731
+            ch, entries, C, cids, vmin, vmax, nprobe, refine, metric
+        )
     scored = union_query_chunks_df(
         q,
-        lambda ch: _ivfsq_score_chunk(
-            ch, entries, C, cids, vmin, vmax, nprobe, refine, metric
-        ),
+        score_chunk,
         "qid LONG, id LONG, adist DOUBLE",
     )
     adist_first = F.col("adist").desc() if metric == "ip" else F.col("adist").asc()

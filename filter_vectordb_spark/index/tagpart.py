@@ -152,44 +152,50 @@ def _score_pair_chunk(
     bc = spark.sparkContext.broadcast(by_pair)
 
     def score(it):
-        import pandas as pd
+        from filter_vectordb_spark.operators.knn import (
+            flatten_fixed_list,
+            gemm_topk,
+            task_topk_merge,
+        )
 
         groups = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
+        # accumulate per-pair partials; ONE per-task top-k per query at
+        # iterator end (task_topk_merge) — nq×k rows per task into the
+        # merge shuffle however many pairs the task scored
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
-            out_q, out_i, out_d = [], [], []
-            for pair, grp in pdf.groupby(["tag_a", "tag_b"]):
-                qg = groups.get((int(pair[0]), int(pair[1])))
+            all_ids = batch.column("id").to_numpy(zero_copy_only=False)
+            X_all = flatten_fixed_list(batch.column("emb"), nb)
+            ta = batch.column("tag_a").to_numpy(zero_copy_only=False)
+            tb = batch.column("tag_b").to_numpy(zero_copy_only=False)
+            # pair-contiguous by the partitionBy layout; stable argsort
+            # over a fused key is ~free there and handles coalesced files
+            pk = ta.astype(np.int64) << 32 | tb.astype(np.int64)
+            order = np.argsort(pk, kind="stable")
+            bounds = np.flatnonzero(np.diff(pk[order])) + 1
+            for grp in np.split(order, bounds):
+                qg = groups.get((int(ta[grp[0]]), int(tb[grp[0]])))
                 if qg is None:
                     continue
                 qids, Q = qg
-                ids = grp["id"].to_numpy(dtype=np.int64)
-                X = np.stack(grp["emb"].to_numpy()).astype(np.float64)
-                D = (
-                    (X * X).sum(1)[:, None]
-                    - 2.0 * (X @ Q.T)
-                    + (Q * Q).sum(1)[None, :]
-                )
-                np.maximum(D, 0.0, out=D)
-                kk = min(k, len(ids))
-                if kk < len(ids):
-                    cand = np.argpartition(D, kk - 1, axis=0)[:kk, :]
-                else:
-                    cand = np.tile(np.arange(len(ids))[:, None], (1, len(qids)))
-                for j in range(len(qids)):
-                    sel = cand[:, j][np.lexsort((ids[cand[:, j]], D[cand[:, j], j]))]
-                    out_q.append(np.full(kk, qids[j], dtype=np.int64))
-                    out_i.append(ids[sel])
-                    out_d.append(D[sel, j])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "qid": np.concatenate(out_q),
-                        "id": np.concatenate(out_i),
-                        "dist": np.concatenate(out_d),
-                    }
-                )
+                X = np.ascontiguousarray(X_all[grp]).astype(np.float64)
+                qn = (Q * Q).sum(axis=1)
+                xn = (X * X).sum(axis=1)
+                part_idx, dist = gemm_topk(Q, qn, X, xn, "l2", k)
+                out_q.append(np.repeat(qids, part_idx.shape[1]))
+                out_i.append(all_ids[grp][part_idx].ravel())
+                out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
 
     hit_pairs = spark.createDataFrame(
         sorted({(int(a), int(b)) for a, b in zip(qpdf["tag_a"], qpdf["tag_b"])})
@@ -197,7 +203,7 @@ def _score_pair_chunk(
         "tag_a INT, tag_b INT",
     )
     pruned = part.join(F.broadcast(hit_pairs), ["tag_a", "tag_b"])
-    return pruned.select("tag_a", "tag_b", "id", "emb").mapInPandas(
+    return pruned.select("tag_a", "tag_b", "id", "emb").mapInArrow(
         score, schema="qid long, id long, dist double"
     )
 

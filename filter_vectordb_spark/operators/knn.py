@@ -44,6 +44,115 @@ MAX_BROADCAST_QUERIES = 1_000_000
 
 METRICS = ("l2", "ip", "cos")
 
+#: column-block width for blocked per-row top-k selection.  One
+#: argpartition over a full (nq, nb) row is erratic on this class of
+#: host (measured 0.5-10s on identical 20M-element inputs — introselect's
+#: random access pattern is memory-latency-bound); per-block partition +
+#: a final partition over nblocks·k survivors is bounded and stable.
+TOPK_BLOCK = 2048
+
+
+def flatten_fixed_list(col, n_rows: int) -> np.ndarray:
+    """Zero-copy-ish (n_rows, d) ndarray from an Arrow list column whose
+    lists all have equal length d.  ~50× faster than np.stack over the
+    per-row object arrays pandas hands back (measured 0.08s vs 4.2s per
+    125k × 192 rows) — the reason the scan kernels take Arrow batches."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n_rows == 0:
+        return flat.reshape(0, 0)
+    d, rem = divmod(flat.size, n_rows)
+    if rem:
+        raise ValueError("ragged list column — fixed-length vectors required")
+    return flat.reshape(n_rows, d)
+
+
+def topk_blocked(key: np.ndarray, k: int, block: int = TOPK_BLOCK) -> np.ndarray:
+    """Per-row indices of the k SMALLEST entries of an (nr, nc) key
+    matrix (unordered — ordering/ties are the global merge's job, exactly
+    as with a single argpartition).  Each block is copied contiguous
+    before partitioning: introselect over a strided slice of a wide
+    matrix is memory-latency-bound (every probe a cache+TLB miss) and
+    measured 10-100× the contiguous cost."""
+    nr, nc = key.shape
+    kk = min(k, nc)
+    if kk == nc:
+        return np.tile(np.arange(nc), (nr, 1))
+    if nc <= block:
+        return np.argpartition(np.ascontiguousarray(key), kk - 1, axis=1)[:, :kk]
+    cand = []
+    for lo in range(0, nc, block):
+        blk = np.ascontiguousarray(key[:, lo : lo + block])
+        bk = min(k, blk.shape[1])
+        if bk == blk.shape[1]:
+            cand.append(np.tile(np.arange(lo, lo + bk), (nr, 1)))
+        else:
+            cand.append(np.argpartition(blk, bk - 1, axis=1)[:, :bk] + lo)
+    C = np.concatenate(cand, axis=1)
+    V = np.take_along_axis(key, C, axis=1)
+    pf = np.argpartition(V, kk - 1, axis=1)[:, :kk]
+    return np.take_along_axis(C, pf, axis=1)
+
+
+def gemm_topk(
+    Q: np.ndarray,
+    qn: np.ndarray | None,
+    X: np.ndarray,
+    xn: np.ndarray | None,
+    metric: str,
+    k: int,
+    chunk: int = TOPK_BLOCK,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused BLAS + per-row top-k over base rows in CONTIGUOUS chunks:
+    G_chunk = Q @ X[lo:hi]ᵀ lands C-contiguous at (nq, chunk), gets its
+    per-row top-k immediately, and is freed before the next chunk — peak
+    memory is O(nq·chunk) however many rows the Arrow batch carries, and
+    no selection ever runs on strided memory (a (nq, 65k) score matrix is
+    512 MB whose strided column-blocks cost 10-100× contiguous).
+
+    Q/X in the caller's compute dtype; qn/xn float64 squared norms (l2)
+    or norms (cos), None for ip.  Returns (idx (nq, kk) into X's rows,
+    dist (nq, kk) float64) — unordered within a row."""
+    nq, nb = Q.shape[0], X.shape[0]
+    best_idx: np.ndarray | None = None
+    best_dist: np.ndarray | None = None
+    for lo in range(0, nb, chunk):
+        Xc = X[lo : lo + chunk]
+        G = Q @ Xc.T  # (nq, c) C-contiguous
+        if metric == "l2":
+            D = qn[:, None] - 2.0 * G.astype(np.float64) + xn[None, lo : lo + chunk]
+            np.maximum(D, 0.0, out=D)
+            key = D
+        elif metric == "ip":
+            D = G.astype(np.float64)
+            key = -D
+        else:  # cos — qn/xn carry the precomputed ‖·‖ norms; divide (not
+            # reciprocal-multiply) to keep f64 rounding identical to the
+            # expression path G / (‖q‖·‖x‖)
+            D = G.astype(np.float64) / (qn[:, None] * xn[None, lo : lo + chunk])
+            key = -D
+        kk = min(k, D.shape[1])
+        if kk < D.shape[1]:
+            p = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        else:
+            p = np.tile(np.arange(D.shape[1]), (nq, 1))
+        v = np.take_along_axis(D, p, axis=1)
+        p = p + lo
+        if best_idx is None:
+            best_idx, best_dist = p, v
+        else:
+            ci = np.concatenate([best_idx, p], axis=1)
+            cv = np.concatenate([best_dist, v], axis=1)
+            keyc = -cv if metric in ("ip", "cos") else cv
+            k2 = min(k, ci.shape[1])
+            sel = np.argpartition(keyc, k2 - 1, axis=1)[:, :k2]
+            best_idx = np.take_along_axis(ci, sel, axis=1)
+            best_dist = np.take_along_axis(cv, sel, axis=1)
+    return best_idx, best_dist
+
 
 def union_query_chunks(qpdf, spark, score_chunk, empty_schema: str) -> DataFrame:
     """Shared above-the-broadcast-cap contract: slice a driver-side query
@@ -108,6 +217,26 @@ def union_query_chunks_df(qdf: DataFrame, score_chunk, empty_schema: str) -> Dat
     return out
 
 
+def task_topk_merge(qids, ids, dists, k: int, largest: bool, col: str = "dist"):
+    """Per-qid top-k over a task's accumulated (qid, id, dist) partials,
+    kept in the downstream global merge's exact order (dist best-first,
+    id asc) — one vectorized lexsort, no per-query Python loop.  Bounds
+    what a task ships into the merge shuffle at nq×k rows however many
+    groups/batches it scored.  Returns an Arrow RecordBatch."""
+    import pyarrow as pa
+
+    key = -dists if largest else dists
+    order = np.lexsort((ids, key, qids))
+    aq, ai, ad = qids[order], ids[order], dists[order]
+    starts = np.flatnonzero(np.r_[True, aq[1:] != aq[:-1]])
+    counts = np.diff(np.r_[starts, len(aq)])
+    rank = np.arange(len(aq)) - np.repeat(starts, counts)
+    keep = rank < k
+    return pa.RecordBatch.from_pydict(
+        {"qid": aq[keep], "id": ai[keep], col: ad[keep]}
+    )
+
+
 def _order(metric: str):
     """l2: smaller is nearer; ip/cos: larger is nearer. Ties → id asc."""
     if metric == "l2":
@@ -125,8 +254,19 @@ def knn_join(
     q_vec: str = "qemb",
     b_id: str = "id",
     b_vec: str = "emb",
+    compute_dtype: str = "float64",
 ) -> DataFrame:
-    """Returns (qid BIGINT, id BIGINT, dist DOUBLE, rank INT), rank 1..k."""
+    """Returns (qid BIGINT, id BIGINT, dist DOUBLE, rank INT), rank 1..k.
+
+    compute_dtype="float32" runs the BLAS block in single precision —
+    ~30× faster on this host's OpenBLAS build (502 vs 16 GFLOPS
+    measured) and EXACT, not approximate, when both sides are
+    integer-valued with |component| ≤ 255 and d ≤ 192: every product
+    (≤ 65025) and every partial dot-product sum (≤ 192·65025 < 2²⁴) is
+    an integer float32 represents exactly, so G == the float64 result
+    bit-for-bit (asserted in tests/test_knn.py).  The distance assembly
+    and emitted dist stay float64 either way.  Callers with genuine
+    float embeddings must keep the float64 default."""
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
     q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
@@ -134,7 +274,7 @@ def knn_join(
     if strategy == "expr":
         scored = _score_expr(q, b, metric)
     elif strategy == "vectorized":
-        scored = _score_vectorized(q, b, metric, k)
+        scored = _score_vectorized(q, b, metric, k, compute_dtype)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return per_group_topk(scored, ["qid"], _order(metric), k).select(
@@ -150,8 +290,11 @@ def _score_expr(q: DataFrame, b: DataFrame, metric: str) -> DataFrame:
     return b.crossJoin(F.broadcast(q)).select("qid", "id", expr.alias("dist"))
 
 
-def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFrame:
-    """Arrow-batched numpy kernel: per-batch partial top-k, exact in float64.
+def _score_vectorized(
+    q: DataFrame, b: DataFrame, metric: str, k: int, compute_dtype: str = "float64"
+) -> DataFrame:
+    """Arrow-batched numpy kernel: per-batch partial top-k, distances in
+    float64 (see knn_join for when the float32 BLAS block stays exact).
 
     Only the partial top-k (nq×k rows per batch) leaves the scan stage —
     the W3 two-phase merge pattern (SURVEY.md §2.5).
@@ -166,65 +309,59 @@ def _score_vectorized(q: DataFrame, b: DataFrame, metric: str, k: int) -> DataFr
     """
     return union_query_chunks_df(
         q,
-        lambda ch: _score_vectorized_chunk(ch, b, metric, k),
+        lambda ch: _score_vectorized_chunk(ch, b, metric, k, compute_dtype),
         "qid LONG, id LONG, dist DOUBLE",
     )
 
 
-def _score_vectorized_chunk(qpdf, b: DataFrame, metric: str, k: int) -> DataFrame:
+def _score_vectorized_chunk(
+    qpdf, b: DataFrame, metric: str, k: int, compute_dtype: str = "float64"
+) -> DataFrame:
+    """Scores arrive in (nq, nb) orientation — G = Q @ Xᵀ lands
+    C-contiguous per query row, so the per-row top-k partitions run on
+    contiguous memory with NO transposed copy (the (nb, nq) orientation
+    needed an ascontiguousarray(-D.T) that measured 96s per 2 GB on this
+    host's memory system — worse than the GEMM it followed)."""
+    dt = np.dtype(compute_dtype)
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
     sc = b.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q))
 
-    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_batches(it):
+        import pyarrow as pa
+
         bqids, bQ = bc.value
-        qn = (bQ * bQ).sum(axis=1)
-        for pdf in it:
-            if len(pdf) == 0:
+        Qc = bQ.astype(dt)
+        qn64 = (bQ * bQ).sum(axis=1)  # float64 always — distance assembly
+        qfac = {"l2": qn64, "ip": None, "cos": np.sqrt(qn64)}[metric]
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            G = X @ bQ.T  # (nb, nq) BLAS block
-            if metric == "l2":
-                xn = (X * X).sum(axis=1)
-                D = xn[:, None] - 2.0 * G + qn[None, :]
-                np.maximum(D, 0.0, out=D)
-                largest = False
-            elif metric == "ip":
-                D = G
-                largest = True
-            else:  # cos
-                xn = np.sqrt((X * X).sum(axis=1))
-                D = G / (xn[:, None] * np.sqrt(qn)[None, :])
-                largest = True
-            kk = min(k, len(ids))
-            # Partition along CONTIGUOUS rows: argpartition down the
-            # columns of the row-major (nb, nq) matrix strides nq·8 bytes
-            # per element — 50s/batch at nq=8k where the transposed copy
-            # (0.2s for 200 MB) plus row-wise partition is <1s.
-            keyT = np.ascontiguousarray((-D if largest else D).T)  # (nq, nb)
-            if kk < len(ids):
-                part = np.argpartition(keyT, kk - 1, axis=1)[:, :kk]
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            X = flatten_fixed_list(batch.column("emb"), nb).astype(dt)
+            if metric == "ip":
+                xfac = None
             else:
-                part = np.tile(np.arange(len(ids))[None, :], (len(bqids), 1))
+                Xf = X if dt == np.float64 else X.astype(np.float64)
+                xn = (Xf * Xf).sum(axis=1)
+                xfac = xn if metric == "l2" else np.sqrt(xn)
             # Emit the partial top-k UNSORTED: ordering/tie-breaks are the
             # global merge's job (per_group_topk orders by (dist, id)), and
-            # a per-query sort here is a Python-loop hot spot at large nq
-            # (8k queries × batches of lexsorts cost minutes; this gather
-            # is pure numpy).  argpartition's boundary-tie pick is
-            # deterministic for a given batch composition, which the
-            # deterministic sources guarantee.
-            qrows = np.arange(len(bqids))[:, None]
-            yield pd.DataFrame(
+            # a per-query sort here is a Python-loop hot spot at large nq.
+            # gemm_topk's boundary-tie pick is deterministic for a given
+            # batch composition, which the deterministic sources guarantee.
+            part, dist = gemm_topk(Qc, qfac, X, xfac, metric, k)
+            yield pa.RecordBatch.from_pydict(
                 {
                     "qid": np.repeat(bqids, part.shape[1]),
                     "id": ids[part].ravel(),
-                    "dist": D[part, qrows].ravel(),
+                    "dist": dist.ravel(),
                 }
             )
 
-    return b.mapInPandas(score_batches, schema="qid long, id long, dist double")
+    return b.mapInArrow(score_batches, schema="qid long, id long, dist double")
 
 
 def pairwise_scores(

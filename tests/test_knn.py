@@ -82,3 +82,46 @@ def test_filtered_scan_chunks_above_broadcast_cap(spark, base, queries, monkeypa
     monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
     got = filtered_knn_scan(queries, base, K).select("qid", "rank", "id")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_float32_compute_exact_on_integer_vectors(spark):
+    """compute_dtype="float32" must be bit-exact on integer-valued uint8
+    vectors (products ≤ 65025, partial sums < 2²⁴ — every intermediate is
+    a float32-representable integer), for all three metrics' rankings and
+    for l2/ip distances (knn_join docstring contract)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base_rows = [(i, rng.randint(0, 251, 192).tolist()) for i in range(400)]
+    q_rows = [(i, rng.randint(0, 251, 192).tolist()) for i in range(6)]
+    base = spark.createDataFrame(base_rows, "id LONG, emb ARRAY<INT>")
+    qs = spark.createDataFrame(q_rows, "qid LONG, qemb ARRAY<INT>")
+    for metric in ("l2", "ip"):
+        want = (
+            knn_join(qs, base, K, metric=metric)
+            .orderBy("qid", "rank")
+            .collect()
+        )
+        got = (
+            knn_join(qs, base, K, metric=metric, compute_dtype="float32")
+            .orderBy("qid", "rank")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], metric
+
+
+def test_topk_blocked_matches_argpartition_set():
+    """Blocked selection returns exactly the k smallest per row (as a
+    set — ordering is the global merge's job) on widths straddling the
+    block size, including ragged final blocks and nc <= k."""
+    import numpy as np
+
+    from filter_vectordb_spark.operators.knn import topk_blocked
+
+    rng = np.random.RandomState(3)
+    for nc in (5, 17, 2048, 2049, 5000):
+        key = rng.permutation(nc * 7).reshape(7, nc).astype(np.float64)
+        got = topk_blocked(key, 10, block=16)
+        want = np.sort(key, axis=1)[:, : min(10, nc)]
+        got_vals = np.sort(np.take_along_axis(key, got, axis=1), axis=1)
+        assert np.array_equal(got_vals, want), nc

@@ -246,7 +246,7 @@ def test_ivfsq_ip_chunks_above_broadcast_cap(spark, monkeypatch):
 
 def test_ivfsq_ip_1m_recall(spark):
     """THE operating-point pin (VERDICT r4 #1): the registered
-    knn_ip_1m_ivfsq row (1M × 192-d, nlist=256 sample-trained, nprobe=32,
+    knn_ip_1m_ivfsq row (1M × 192-d, nlist=256 sample-trained, nprobe=16,
     refine=32) must hold tie-aware recall@10 ≥ 0.9 against brute force —
     the reference's recall-gated QPS methodology (BASELINE row 3 gates
     DiskANN's 4,882 QPS at ≥90% recall).  Tie-aware: a returned id
@@ -279,3 +279,30 @@ def test_ivfsq_ip_1m_recall(spark):
         rec += (g[np.asarray(got[qid])] >= kth).sum() / K
     rec /= len(qids)
     assert rec >= 0.9, f"tie-aware recall@10 {rec:.4f} < 0.9"
+
+
+def test_ivfsq_direct_read_equals_dataframe_path(tmp_path, spark, base, ivfsq):
+    """The serving-path direct pyarrow read (entries_dir) must return the
+    exact rows of the DataFrame-scan path — same index, same probes, same
+    merge order (ivfsq_search docstring contract)."""
+    from filter_vectordb_spark.index.ivfsq import (
+        ivfsq_search,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    entries, centroids, vmin, vmax = ivfsq
+    out = str(tmp_path / "ivfsq_direct")
+    save_ivfsq(entries, centroids, vmin, vmax, out)
+    e2, c2, mn2, mx2 = load_ivfsq(spark, out)
+    q = dense_queries(spark, SF_DIR)
+    for metric in ("l2", "ip"):
+        want = ivfsq_search(
+            q, e2, c2, mn2, mx2, base, K, nprobe=4, refine=32, metric=metric
+        ).select("qid", "rank", "id", "dist")
+        got = ivfsq_search(
+            q, e2, c2, mn2, mx2, base, K, nprobe=4, refine=32, metric=metric,
+            entries_dir=f"{out}/entries",
+        ).select("qid", "rank", "id", "dist")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
