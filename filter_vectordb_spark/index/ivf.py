@@ -31,7 +31,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from filter_vectordb_spark.functions.distance import l2_sq
 from filter_vectordb_spark.operators.topk import per_group_topk
 
 
@@ -151,27 +150,66 @@ def ivf_search(
     """Top-k L2 search probing the `nprobe` nearest centroids per query.
 
     Returns (qid, id, dist, rank).  Exact within the probed subset.
-    """
+
+    Scan shape: the probed lists are scanned ONCE with the per-list query
+    groups broadcast and scored by the fused numpy kernel — the previous
+    (qid, centroid_id) probe-pair join duplicated every list row per
+    probing query AND scored through an interpreted Catalyst array
+    lambda, which measured 2-7 QPS on the 100k curve where this shape
+    serves >100."""
     cpdf = centroids.toPandas()  # nlist rows — always tiny
     C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
     cids = cpdf["centroid_id"].to_numpy()
     qpdf = queries.select("qid", "qemb").toPandas()
-    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-    # rank centroids per query (nq × nlist — driver-side, both sides small)
-    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-    order = np.argsort(d2, axis=1)[:, :nprobe]
-    pairs = [
-        (int(qid), int(cids[j]))
-        for qid, row in zip(qpdf["qid"], order)
-        for j in row
-    ]
+    from filter_vectordb_spark.index.ivfsq import _probe_map
+
+    qids_np, Q, probe_map = _probe_map(qpdf, C, cids, nprobe, "l2")
     spark = queries.sparkSession
-    probe = spark.createDataFrame(pairs, "qid BIGINT, centroid_id INT")
-    # partition pruning: only the probed inverted lists are scanned
-    cand = assignments.join(F.broadcast(probe), "centroid_id").select("qid", "id", "emb")
-    scored = cand.join(F.broadcast(queries.select("qid", "qemb")), "qid").select(
-        "qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist")
+    bc = spark.sparkContext.broadcast((qids_np, Q, probe_map))
+    probed = sorted(probe_map)
+    cand = assignments.filter(F.col("centroid_id").isin(probed)).select(
+        "centroid_id", "id", "emb"
     )
+
+    def scan(it):
+        from filter_vectordb_spark.operators.knn import (
+            flatten_fixed_list,
+            gemm_topk,
+            task_topk_merge,
+        )
+
+        bqids, bQ, groups = bc.value
+        qn = (bQ * bQ).sum(axis=1)
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            all_ids = batch.column("id").to_numpy(zero_copy_only=False)
+            X_all = flatten_fixed_list(batch.column("emb"), nb)
+            cid_col = batch.column("centroid_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(cid_col, kind="stable")
+            bounds = np.flatnonzero(np.diff(cid_col[order])) + 1
+            for grp in np.split(order, bounds):
+                pos = groups.get(int(cid_col[grp[0]]))
+                if pos is None:
+                    continue
+                X = np.ascontiguousarray(X_all[grp]).astype(np.float64)
+                xn = (X * X).sum(axis=1)
+                part, dist = gemm_topk(bQ[pos], qn[pos], X, xn, "l2", k)
+                out_q.append(np.repeat(bqids[pos], part.shape[1]))
+                out_i.append(all_ids[grp][part].ravel())
+                out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
+
+    scored = cand.mapInArrow(scan, schema="qid long, id long, dist double")
     return per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")
