@@ -112,17 +112,9 @@ def ivfpq_search(
     C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
     cids = cpdf["centroid_id"].to_numpy()
     qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    qids_np = qpdf["qid"].to_numpy(dtype=np.int64)
-    Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    from filter_vectordb_spark.index.ivfsq import _probe_map
 
-    # rank centroids per query (nq × nlist, driver-side like ivf_search)
-    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-    order = np.argsort(d2, axis=1)[:, :nprobe]
-    pairs = [
-        (int(qid), int(cids[j])) for qid, row in zip(qpdf["qid"], order) for j in row
-    ]
-    spark = queries.sparkSession
-    probe = spark.createDataFrame(pairs, "qid BIGINT, centroid_id INT")
+    qids_np, Q, probe_map = _probe_map(qpdf, C, cids, nprobe, "l2")
 
     # ADC lookup tables, one per query (nq × nsub × ksub — kilobytes)
     nsub, ksub, dsub = codebooks.shape
@@ -134,29 +126,60 @@ def ivfpq_search(
             - 2.0 * (Qs @ codebooks[s].T)
             + (codebooks[s] * codebooks[s]).sum(axis=1)[None, :]
         )
-    qpos = {int(q): i for i, q in enumerate(qids_np)}
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((qids_np, LUT, probe_map))
 
-    # partition pruning: only probed lists are scanned, codes column only
-    cand = entries.join(F.broadcast(probe), "centroid_id").select("qid", "id", "codes")
+    # probed lists scanned ONCE with the per-list query groups broadcast
+    # (each codes row ships once — not the probe-pair join shape, which
+    # duplicates every list row per probing query), codes column only
+    probed = sorted(probe_map)
+    cand = entries.filter(F.col("centroid_id").isin(probed)).select(
+        "centroid_id", "id", "codes"
+    )
 
-    def adc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
+    def adc(it):
+        from filter_vectordb_spark.operators.knn import (
+            flatten_fixed_list,
+            task_topk_merge,
+            topk_blocked,
+        )
+
+        bqids, bLUT, groups = bc.value
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
-            M = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (nb, nsub)
-            qi = pdf["qid"].map(qpos).to_numpy(dtype=np.int64)
-            D = np.zeros(len(pdf), dtype=np.float64)
-            for s in range(nsub):
-                D += LUT[qi, s, M[:, s]]
-            yield pd.DataFrame(
-                {
-                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
-                    "id": pdf["id"].to_numpy(dtype=np.int64),
-                    "adist": D,
-                }
+            all_ids = batch.column("id").to_numpy(zero_copy_only=False)
+            M_all = flatten_fixed_list(batch.column("codes"), nb).astype(np.int64)
+            cid_col = batch.column("centroid_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(cid_col, kind="stable")
+            bounds = np.flatnonzero(np.diff(cid_col[order])) + 1
+            for grp in np.split(order, bounds):
+                pos = groups.get(int(cid_col[grp[0]]))
+                if pos is None:
+                    continue
+                M = M_all[grp]
+                L = bLUT[pos]  # (np, nsub, ksub)
+                D = np.zeros((len(pos), len(grp)), dtype=np.float64)
+                for s in range(nsub):
+                    D += L[:, s, :][:, M[:, s]]
+                part = topk_blocked(D, refine)
+                qrows = np.arange(len(pos))[:, None]
+                out_q.append(np.repeat(bqids[pos], part.shape[1]))
+                out_i.append(all_ids[grp][part].ravel())
+                out_d.append(D[qrows, part].ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                refine,
+                largest=False,
+                col="adist",
             )
 
-    scored = cand.mapInPandas(adc, schema="qid long, id long, adist double")
+    scored = cand.mapInArrow(adc, schema="qid long, id long, adist double")
     cut = per_group_topk(
         scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], refine
     ).select("qid", "id")

@@ -201,39 +201,43 @@ def _adc_scores_chunk(
             - 2.0 * (Qs @ codebooks[s].T)
             + (codebooks[s] * codebooks[s]).sum(axis=1)[None, :]
         )
-    A = LUT.transpose(1, 2, 0)  # (nsub, ksub, nq) — gather-friendly
 
-    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
+    def scan(it):
+        from filter_vectordb_spark.operators.knn import (
+            flatten_fixed_list,
+            task_topk_merge,
+            topk_blocked,
+        )
+
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            M = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (nb, nsub)
-            D = np.zeros((len(ids), len(qids)), dtype=np.float64)
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            M = flatten_fixed_list(batch.column("codes"), nb).astype(np.int64)
+            # accumulate D in (nq, nb) orientation — per-row selection then
+            # runs on contiguous memory (same s-order addends as the old
+            # (nb, nq) loop, so adist is bit-identical)
+            D = np.zeros((len(qids), nb), dtype=np.float64)
             for s in range(nsub):
-                D += A[s, M[:, s], :]
-            kk = min(refine, len(ids))
-            if kk < len(ids):
-                part = np.argpartition(D, kk - 1, axis=0)[:kk, :]
-            else:
-                part = np.tile(np.arange(len(ids))[:, None], (1, len(qids)))
-            out_q, out_i, out_d = [], [], []
-            for j in range(len(qids)):
-                cand = part[:, j]
-                order = np.lexsort((ids[cand], D[cand, j]))
-                sel = cand[order]
-                out_q.append(np.full(kk, qids[j], dtype=np.int64))
-                out_i.append(ids[sel])
-                out_d.append(D[sel, j])
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(out_q),
-                    "id": np.concatenate(out_i),
-                    "adist": np.concatenate(out_d),
-                }
+                D += LUT[:, s, M[:, s]]
+            part = topk_blocked(D, refine)
+            qrows = np.arange(len(qids))[:, None]
+            out_q.append(np.repeat(qids, part.shape[1]))
+            out_i.append(ids[part].ravel())
+            out_d.append(D[qrows, part].ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                refine,
+                largest=False,
+                col="adist",
             )
 
-    return codes.mapInPandas(scan, schema="qid long, id long, adist double")
+    return codes.mapInArrow(scan, schema="qid long, id long, adist double")
 
 
 def pq_adc_search(

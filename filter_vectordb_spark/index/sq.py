@@ -150,46 +150,54 @@ def sq_scores(
     from filter_vectordb_spark.operators.knn import union_query_chunks
 
     qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    scale = _scales(vmin, vmax)
-    lo = vmin.copy()
+    # float32 decode + scoring: the ADC stage nominates `refine`
+    # candidates whose margin is SQ8 quantization error, orders of
+    # magnitude above float32 rounding; survivors are exact-rescored in
+    # float64 (sq_search) — same contract as the IVF+SQ8 scan
+    scale32 = _scales(vmin, vmax).astype(np.float32)
+    lo32 = vmin.astype(np.float32)
 
     def chunk_scores(qch: pd.DataFrame) -> DataFrame:
         qids = qch["qid"].to_numpy(dtype=np.int64)
-        Q = np.stack(qch["qemb"].to_numpy()).astype(np.float64)
-        qn = (Q * Q).sum(axis=1)
+        Q32 = np.stack(qch["qemb"].to_numpy()).astype(np.float32)
+        qn = (Q32 * Q32).sum(axis=1)
 
-        def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                if len(pdf) == 0:
+        def scan(it):
+            from filter_vectordb_spark.operators.knn import (
+                flatten_fixed_list,
+                task_topk_merge,
+                topk_blocked,
+            )
+
+            out_q, out_i, out_d = [], [], []
+            for batch in it:
+                nb = batch.num_rows
+                if nb == 0:
                     continue
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                M = np.stack(pdf["codes"].to_numpy()).astype(np.float64) + 128.0
-                Xd = lo[None, :] + M * scale[None, :]  # decode (nb, d)
-                xn = (Xd * Xd).sum(axis=1)
-                D = xn[:, None] - 2.0 * (Xd @ Q.T) + qn[None, :]
-                np.maximum(D, 0.0, out=D)
-                kk = min(refine, len(ids))
-                if kk < len(ids):
-                    part = np.argpartition(D, kk - 1, axis=0)[:kk, :]
-                else:
-                    part = np.tile(np.arange(len(ids))[:, None], (1, len(qids)))
-                out_q, out_i, out_d = [], [], []
-                for j in range(len(qids)):
-                    cand = part[:, j]
-                    order = np.lexsort((ids[cand], D[cand, j]))
-                    sel = cand[order]
-                    out_q.append(np.full(kk, qids[j], dtype=np.int64))
-                    out_i.append(ids[sel])
-                    out_d.append(D[sel, j])
-                yield pd.DataFrame(
-                    {
-                        "qid": np.concatenate(out_q),
-                        "id": np.concatenate(out_i),
-                        "adist": np.concatenate(out_d),
-                    }
+                ids = batch.column("id").to_numpy(zero_copy_only=False)
+                M = flatten_fixed_list(batch.column("codes"), nb).astype(
+                    np.float32
+                ) + np.float32(128.0)
+                Xd = lo32[None, :] + M * scale32[None, :]  # decode (nb, d)
+                G = Q32 @ Xd.T  # (nq, nb), C-contiguous
+                D = qn[:, None] - 2.0 * G + (Xd * Xd).sum(axis=1)[None, :]
+                np.maximum(D, np.float32(0.0), out=D)
+                part = topk_blocked(D, refine)
+                qrows = np.arange(len(qids))[:, None]
+                out_q.append(np.repeat(qids, part.shape[1]))
+                out_i.append(ids[part].ravel())
+                out_d.append(D[qrows, part].ravel().astype(np.float64))
+            if out_q:
+                yield task_topk_merge(
+                    np.concatenate(out_q),
+                    np.concatenate(out_i),
+                    np.concatenate(out_d),
+                    refine,
+                    largest=False,
+                    col="adist",
                 )
 
-        return codes.mapInPandas(scan, schema="qid long, id long, adist double")
+        return codes.mapInArrow(scan, schema="qid long, id long, adist double")
 
     # shared above-the-cap chunk-and-union contract (see union_query_chunks)
     return union_query_chunks(
