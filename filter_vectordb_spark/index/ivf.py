@@ -34,12 +34,82 @@ from pyspark.sql import functions as F
 from filter_vectordb_spark.operators.topk import per_group_topk
 
 
+def _lloyd_blocked(X: np.ndarray, ids: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic driver-side Lloyd's for LARGE k on a bounded sample:
+    assignment via blocked f32 GEMM (the pairwise (n, k, d) tensor of
+    pq._lloyd is memory-infeasible past k ≈ 100), centroid update via
+    scatter-add.  Init = k evenly-spaced sample rows ordered by
+    (‖x‖², id) — no RNG; empty clusters reseed to the points farthest
+    from their centroid (deterministic argsort).  This is faiss's own
+    coarse-training shape: BLAS distance blocks over a sample, never
+    the full corpus."""
+    n, d = X.shape
+    order = np.lexsort((ids, (X * X).sum(axis=1)))
+    idx = order[np.round(np.linspace(0, n - 1, min(k, n))).astype(int)]
+    C = X[idx].astype(np.float64).copy()
+    X32 = X.astype(np.float32)
+    rows = np.arange(n)
+    for _ in range(iters):
+        C32 = C.astype(np.float32)
+        cn = (C32 * C32).sum(axis=1)
+        assign = np.empty(n, dtype=np.int64)
+        mind = np.empty(n, dtype=np.float32)
+        for lo in range(0, n, 8192):
+            Xc = X32[lo : lo + 8192]
+            Dc = cn[None, :] - 2.0 * (Xc @ C32.T)  # ‖x‖² constant per row
+            a = Dc.argmin(axis=1)
+            assign[lo : lo + 8192] = a
+            mind[lo : lo + 8192] = Dc[np.arange(len(a)), a]
+        counts = np.bincount(assign, minlength=len(C))
+        S = np.zeros((len(C), d))
+        np.add.at(S, assign, X)
+        nonempty = counts > 0
+        C[nonempty] = S[nonempty] / counts[nonempty, None]
+        empty = np.flatnonzero(~nonempty)
+        if len(empty):
+            far = rows[np.argsort(-mind, kind="stable")[: len(empty)]]
+            C[empty] = X[far]
+    return C
+
+
+def assign_to_centroids(rows: DataFrame, C: np.ndarray, cids: np.ndarray) -> DataFrame:
+    """(id, emb, centroid_id): nearest-centroid assignment of arbitrarily
+    many rows — one Arrow pass, centroid matrix rides the task closure
+    (nlist × d floats).  The streaming-insert kernel, exposed for builds
+    whose coarse quantizer was trained driver-side."""
+    import pandas as pd
+
+    C32 = C.astype(np.float32)
+    cn = (C32 * C32).sum(axis=1)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float32)
+            D = cn[None, :] - 2.0 * (X @ C32.T)  # ‖x‖² constant per row
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "emb": pdf["emb"],
+                    "centroid_id": cid_arr[D.argmin(axis=1)].astype(np.int32),
+                }
+            )
+
+    emb_type = dict(rows.dtypes)["emb"]
+    return rows.select("id", "emb").mapInPandas(
+        assign, schema=f"id long, emb {emb_type}, centroid_id int"
+    )
+
+
 def build_ivf(
     base: DataFrame,
     nlist: int,
     seed: int = 42,
     max_iter: int = 8,
     train_rows: int | None = None,
+    coarse: str = "mllib",
 ):
     """Returns (assignments, centroids): assignments = base + centroid_id;
     centroids = (centroid_id, centroid ARRAY<DOUBLE>).
@@ -48,7 +118,28 @@ def build_ivf(
     rows and the fitted centroids assign the FULL base — faiss's own
     protocol (it trains the coarse quantizer on a bounded sample, then
     add()s everything); at 1M+ rows training on the full set is the
-    build bottleneck with no probe-quality payoff."""
+    build bottleneck with no probe-quality payoff.
+
+    coarse="numpy": train Lloyd's driver-side on the sample with blocked
+    f32 BLAS instead of MLlib.  At √N-rule list counts (nlist ≈ 1.4k for
+    2M rows) MLlib's JVM scalar loops cost minutes per iteration where
+    the BLAS block costs ~1 s; the sample is bounded (train_rows
+    required), so driver memory stays O(train_rows · d)."""
+    if coarse == "numpy":
+        if not train_rows:
+            raise ValueError("coarse='numpy' requires train_rows (bounded sample)")
+        spark = base.sparkSession
+        pdf = (
+            base.select("id", "emb").orderBy("id").limit(train_rows).toPandas()
+        )
+        X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        C = _lloyd_blocked(X, pdf["id"].to_numpy(dtype=np.int64), nlist, max_iter)
+        cids = np.arange(len(C), dtype=np.int64)
+        centroids = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
+            "centroid_id INT, centroid ARRAY<DOUBLE>",
+        )
+        return assign_to_centroids(base, C, cids), centroids
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -156,15 +247,36 @@ def ivf_search(
     (qid, centroid_id) probe-pair join duplicated every list row per
     probing query AND scored through an interpreted Catalyst array
     lambda, which measured 2-7 QPS on the 100k curve where this shape
-    serves >100."""
+    serves >100.
+
+    Above the broadcast cap the query set chunk-and-unions through
+    union_query_chunks_df — driver memory stays O(chunk), each chunk
+    gets its own probe map and pruned scan."""
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
+
     cpdf = centroids.toPandas()  # nlist rows — always tiny
     C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
     cids = cpdf["centroid_id"].to_numpy()
-    qpdf = queries.select("qid", "qemb").toPandas()
+    scored = union_query_chunks_df(
+        queries.select("qid", "qemb"),
+        lambda ch: _ivf_score_chunk(ch, assignments, C, cids, k, nprobe),
+        "qid LONG, id LONG, dist DOUBLE",
+    )
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+
+
+def _ivf_score_chunk(
+    chunk_pdf, assignments: DataFrame, C: np.ndarray, cids: np.ndarray,
+    k: int, nprobe: int,
+) -> DataFrame:
+    """One ≤cap query chunk: driver-side centroid ranking, static
+    partition pruning to the chunk's probed lists, fused GEMM scan."""
     from filter_vectordb_spark.index.ivfsq import _probe_map
 
-    qids_np, Q, probe_map = _probe_map(qpdf, C, cids, nprobe, "l2")
-    spark = queries.sparkSession
+    qids_np, Q, probe_map = _probe_map(chunk_pdf, C, cids, nprobe, "l2")
+    spark = assignments.sparkSession
     bc = spark.sparkContext.broadcast((qids_np, Q, probe_map))
     probed = sorted(probe_map)
     cand = assignments.filter(F.col("centroid_id").isin(probed)).select(
@@ -209,7 +321,4 @@ def ivf_search(
                 largest=False,
             )
 
-    scored = cand.mapInArrow(scan, schema="qid long, id long, dist double")
-    return per_group_topk(
-        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
-    ).select("qid", "id", "dist", "rank")
+    return cand.mapInArrow(scan, schema="qid long, id long, dist double")

@@ -107,14 +107,46 @@ def ivfpq_search(
     q_vec: str = "qemb",
 ) -> DataFrame:
     """Probe `nprobe` lists per query, ADC-score only their codes, cut to
-    `refine`, exact-rescore survivors.  Returns (qid, id, dist, rank)."""
+    `refine`, exact-rescore survivors.  Returns (qid, id, dist, rank).
+    Above the broadcast cap the query set chunk-and-unions through
+    union_query_chunks_df — driver memory stays O(chunk)."""
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
+
     cpdf = centroids.toPandas()  # nlist rows — tiny by construction
     C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
     cids = cpdf["centroid_id"].to_numpy()
-    qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
+    scored = union_query_chunks_df(
+        queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")),
+        lambda ch: _ivfpq_score_chunk(ch, entries, C, cids, codebooks, nprobe, refine),
+        "qid LONG, id LONG, adist DOUBLE",
+    )
+    cut = per_group_topk(
+        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], refine
+    ).select("qid", "id")
+    b = base.select("id", "emb")
+    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
+    pairs_df = b.join(F.broadcast(cut), "id").join(F.broadcast(q), "qid")
+    exact = pairwise_l2_scores(pairs_df)
+    return per_group_topk(
+        exact, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")
+
+
+def _ivfpq_score_chunk(
+    chunk_pdf,
+    entries: DataFrame,
+    C: np.ndarray,
+    cids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int,
+    refine: int,
+) -> DataFrame:
+    """One ≤cap query chunk: driver-side centroid ranking + per-query ADC
+    lookup tables, static partition pruning to the chunk's probed lists,
+    LUT-gather scan with per-task top-`refine` merge."""
     from filter_vectordb_spark.index.ivfsq import _probe_map
 
-    qids_np, Q, probe_map = _probe_map(qpdf, C, cids, nprobe, "l2")
+    qids_np, Q, probe_map = _probe_map(chunk_pdf, C, cids, nprobe, "l2")
 
     # ADC lookup tables, one per query (nq × nsub × ksub — kilobytes)
     nsub, ksub, dsub = codebooks.shape
@@ -126,7 +158,7 @@ def ivfpq_search(
             - 2.0 * (Qs @ codebooks[s].T)
             + (codebooks[s] * codebooks[s]).sum(axis=1)[None, :]
         )
-    spark = queries.sparkSession
+    spark = entries.sparkSession
     bc = spark.sparkContext.broadcast((qids_np, LUT, probe_map))
 
     # probed lists scanned ONCE with the per-list query groups broadcast
@@ -179,14 +211,4 @@ def ivfpq_search(
                 col="adist",
             )
 
-    scored = cand.mapInArrow(adc, schema="qid long, id long, adist double")
-    cut = per_group_topk(
-        scored, ["qid"], [F.col("adist").asc(), F.col("id").asc()], refine
-    ).select("qid", "id")
-    b = base.select("id", "emb")
-    q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
-    pairs_df = b.join(F.broadcast(cut), "id").join(F.broadcast(q), "qid")
-    exact = pairwise_l2_scores(pairs_df)
-    return per_group_topk(
-        exact, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
-    ).select("qid", "id", "dist", "rank")
+    return cand.mapInArrow(adc, schema="qid long, id long, adist double")

@@ -39,15 +39,18 @@ def build_ivfsq(
     nlist: int,
     max_iter: int = 8,
     train_rows: int | None = None,
+    coarse: str = "mllib",
 ) -> tuple[DataFrame, DataFrame, np.ndarray, np.ndarray]:
     """Returns (entries, centroids, vmin, vmax): entries = (id,
     centroid_id, codes) — both pruning structures in one table.
-    max_iter/train_rows pass through to the coarse k-means (see
-    build_ivf — faiss's bounded-sample training protocol)."""
+    max_iter/train_rows/coarse pass through to the coarse k-means (see
+    build_ivf — faiss's bounded-sample training protocol; coarse="numpy"
+    for √N-rule list counts where MLlib's scalar loops are the build
+    bottleneck)."""
     from filter_vectordb_spark.index.ivf import build_ivf
 
     assignments, centroids = build_ivf(
-        base, nlist, max_iter=max_iter, train_rows=train_rows
+        base, nlist, max_iter=max_iter, train_rows=train_rows, coarse=coarse
     )
     vmin, vmax = train_sq(base)
     codes = encode_sq(base, vmin, vmax)
@@ -86,14 +89,26 @@ _LOAD_CACHE: dict = {}
 
 
 def load_ivfsq(spark: SparkSession, out_dir: str):
+    import os
+
     from filter_vectordb_spark.index.sq import read_grid
 
-    key = (spark.sparkContext.applicationId, out_dir)
+    # freshness token: a rebuild by ANOTHER process (save_ivfsq only
+    # invalidates in-process) bumps the entries _SUCCESS mtime, so a
+    # long-lived session never serves DataFrames whose parquet file
+    # listing was captured against the old layout (ADVICE r5)
+    try:
+        token = os.stat(f"{out_dir}/entries/_SUCCESS").st_mtime_ns
+    except OSError:
+        token = None  # non-local path or missing marker: cache on path only
+    key = (spark.sparkContext.applicationId, out_dir, token)
     hit = _LOAD_CACHE.get(key)
     if hit is None:
         entries = spark.read.parquet(f"{out_dir}/entries")
         centroids = spark.read.parquet(f"{out_dir}/centroids")
         hit = (entries, centroids, *read_grid(spark, f"{out_dir}/grid"))
+        for stale in [k for k in _LOAD_CACHE if k[1] == out_dir]:
+            del _LOAD_CACHE[stale]  # at most one live layout per path
         _LOAD_CACHE[key] = hit
     return hit
 
@@ -267,6 +282,16 @@ def _ivfsq_score_chunk_direct(
     partitions per batch."""
     import glob as _glob
 
+    # the glob below runs on the DRIVER and pq.read_table on EXECUTORS
+    # against the same string path — only valid for a POSIX path mounted
+    # identically on both (an hdfs://|s3:// URI would glob nothing and
+    # "raise FileNotFoundError" misleadingly); fail with the real reason
+    if "://" in entries_dir:
+        raise ValueError(
+            "entries_dir must be a local/shared-filesystem path; URI "
+            f"schemes are not supported by the direct-read path: {entries_dir!r}"
+            " — pass entries_dir=None to scan through the DataFrame route"
+        )
     qids_np, Q, probe_map = _probe_map(chunk_pdf, C, cids, nprobe, metric)
     scale32 = _scales(vmin, vmax).astype(np.float32)
     lo32 = vmin.astype(np.float32)
@@ -282,7 +307,10 @@ def _ivfsq_score_chunk_direct(
                 f"no parquet for probed list {cid} under {entries_dir}"
             )
         files.extend((p, cid) for p in hits)
-    par = min(len(files), spark.sparkContext.defaultParallelism)
+    # max(1, ...): an empty probe map (possible only with 0 queries, which
+    # union_query_chunks_df already short-circuits, but keep the guard —
+    # repartition(0) is an error, not an empty result)
+    par = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     fdf = spark.createDataFrame(files, "path STRING, cid INT").repartition(par)
 
     def serve(it):

@@ -173,13 +173,12 @@ def adc_scores(
     scan (the W3 two-phase shape; global merge is the caller's top-k).
 
     Above the broadcast cap the query set is sliced into ≤cap chunks and
-    the scored streams unioned — same contract as knn_join."""
-    from filter_vectordb_spark.operators.knn import union_query_chunks
+    the scored streams unioned — same contract as knn_join; the query
+    side streams through the driver O(chunk) at a time."""
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
 
-    qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
-    return union_query_chunks(
-        qpdf,
-        codes.sparkSession,
+    return union_query_chunks_df(
+        queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")),
         lambda ch: _adc_scores_chunk(ch, codes, codebooks, refine),
         "qid LONG, id LONG, adist DOUBLE",
     )

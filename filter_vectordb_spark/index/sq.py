@@ -147,9 +147,7 @@ def sq_scores(
 ) -> DataFrame:
     """(qid, id, adist): reconstruction-L2² per batch, partial
     top-`refine` — only nq×refine rows per Arrow batch leave the scan."""
-    from filter_vectordb_spark.operators.knn import union_query_chunks
-
-    qpdf = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")).toPandas()
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
     # float32 decode + scoring: the ADC stage nominates `refine`
     # candidates whose margin is SQ8 quantization error, orders of
     # magnitude above float32 rounding; survivors are exact-rescored in
@@ -199,10 +197,10 @@ def sq_scores(
 
         return codes.mapInArrow(scan, schema="qid long, id long, adist double")
 
-    # shared above-the-cap chunk-and-union contract (see union_query_chunks)
-    return union_query_chunks(
-        qpdf,
-        codes.sparkSession,
+    # shared above-the-cap chunk-and-union contract — query side streams
+    # through the driver O(chunk) at a time (union_query_chunks_df)
+    return union_query_chunks_df(
+        queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb")),
         chunk_scores,
         "qid LONG, id LONG, adist DOUBLE",
     )

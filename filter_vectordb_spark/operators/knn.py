@@ -115,7 +115,17 @@ def gemm_topk(
 
     Q/X in the caller's compute dtype; qn/xn float64 squared norms (l2)
     or norms (cos), None for ip.  Returns (idx (nq, kk) into X's rows,
-    dist (nq, kk) float64) — unordered within a row."""
+    dist (nq, kk) float64) — unordered within a row.
+
+    Boundary-tie semantics (shared with topk_blocked): when >k candidates
+    tie at the k-th distance, argpartition keeps an arbitrary — but
+    deterministic for a fixed batch/chunk composition — subset; the
+    downstream (dist, id asc) ordering then applies only among survivors.
+    The deterministic sources make results reproducible run-to-run, but
+    a different partitioning could keep a different same-distance id.
+    Callers needing strict (dist, id) tie selection must widen k by the
+    tie margin or use the expression path — the fixtures' distinct-value
+    generators make the case unreachable in every hash-checked row."""
     nq, nb = Q.shape[0], X.shape[0]
     best_idx: np.ndarray | None = None
     best_dist: np.ndarray | None = None
@@ -154,38 +164,25 @@ def gemm_topk(
     return best_idx, best_dist
 
 
-def union_query_chunks(qpdf, spark, score_chunk, empty_schema: str) -> DataFrame:
-    """Shared above-the-broadcast-cap contract: slice a driver-side query
-    frame into ≤MAX_BROADCAST_QUERIES chunks, build one scored scan per
+def union_query_chunks_df(qdf: DataFrame, score_chunk, empty_schema: str) -> DataFrame:
+    """Shared above-the-broadcast-cap contract for a query **DataFrame**:
+    slice into ≤MAX_BROADCAST_QUERIES chunks, build one scored scan per
     chunk via `score_chunk(chunk_pdf)`, union the streams.  qids are
     disjoint across chunks, so any per-qid top-k downstream is identical
     to a single-shot run; executor memory stays bounded by one chunk's
-    broadcast.  An empty query frame returns an empty typed DataFrame
-    (`empty_schema`) instead of crashing in the kernel builder.
+    broadcast, and DRIVER memory by one chunk's rows.  Below the cap this
+    is a single Arrow collect (one chunk — the unchanged fast path,
+    probed with a limit(cap)); above it, chunks stream through
+    toLocalIterator so the driver never holds more than one chunk of
+    query rows at a time — the difference between an 8k bench batch and
+    a 10M-query offline batch.  An empty query frame returns an empty
+    typed DataFrame (`empty_schema`) instead of crashing in the kernel
+    builder.
 
-    Used by the vectorized k-NN join, the filtered scan, and the PQ/SQ
-    ADC scans — one implementation so the cap and empty-input semantics
+    Used by EVERY scan family — the vectorized k-NN join, the filtered
+    scan, the PQ/SQ/IVF/IVF+PQ/IVF+SQ scans, and the tag-pair route —
+    one implementation so the cap, streaming, and empty-input semantics
     cannot drift apart (they did once; see tests)."""
-    if len(qpdf) == 0:
-        return spark.createDataFrame([], empty_schema)
-    cap = MAX_BROADCAST_QUERIES
-    parts = [score_chunk(qpdf.iloc[lo : lo + cap]) for lo in range(0, len(qpdf), cap)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-def union_query_chunks_df(qdf: DataFrame, score_chunk, empty_schema: str) -> DataFrame:
-    """union_query_chunks for a query **DataFrame**: driver memory is
-    O(cap), not O(total nq).  Below the cap this is a single Arrow
-    collect (one chunk — the unchanged fast path, probed with a
-    limit(cap)); above it, chunks stream through toLocalIterator so the
-    driver never holds more than one chunk of query rows at a time — the
-    difference between an 8k bench batch and a 10M-query offline batch.
-
-    Same chunk-disjoint-qids contract as union_query_chunks; callers
-    hand the raw query DataFrame instead of pre-collecting it."""
     import filter_vectordb_spark.operators.knn as _knn  # late-bound cap (tests patch it)
 
     spark = qdf.sparkSession
@@ -325,6 +322,20 @@ def _score_vectorized_chunk(
     dt = np.dtype(compute_dtype)
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    if dt == np.float32:
+        # enforce the documented exactness precondition (knn_join): the
+        # f32 GEMM is bit-exact only for integer components, |v| ≤ 255,
+        # d ≤ 192.  Full check on the query side (cheap — one pass over
+        # the chunk); the base side is spot-checked per Arrow batch.
+        if Q.shape[1] > 192 or not (
+            np.abs(Q).max(initial=0.0) <= 255 and np.array_equal(Q, np.rint(Q))
+        ):
+            raise ValueError(
+                "compute_dtype='float32' requires integer-valued vectors "
+                "with |component| <= 255 and d <= 192 (exactness "
+                "precondition); use the float64 default for real-valued "
+                "embeddings"
+            )
     sc = b.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q))
 
@@ -341,6 +352,16 @@ def _score_vectorized_chunk(
                 continue
             ids = batch.column("id").to_numpy(zero_copy_only=False)
             X = flatten_fixed_list(batch.column("emb"), nb).astype(dt)
+            if dt == np.float32:
+                # spot-check the f32 exactness precondition on the base
+                # side (first row per batch — a full pass would cost a
+                # memory-bandwidth sweep per batch)
+                r0 = X[0].astype(np.float64)
+                if not (np.abs(r0).max(initial=0.0) <= 255 and np.array_equal(r0, np.rint(r0))):
+                    raise ValueError(
+                        "compute_dtype='float32' exactness precondition "
+                        "violated by base vectors (non-integer or |v| > 255)"
+                    )
             if metric == "ip":
                 xfac = None
             else:

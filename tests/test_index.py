@@ -114,3 +114,15 @@ def test_router_self_heals_poisoned_tagstats_cache(spark):
     res = registry.QUERIES["filtered_knn_router"](spark, SF_DIR)
     assert res.count() > 0
     assert not os.path.exists(stray)
+
+
+def test_ivf_search_chunks_above_broadcast_cap(spark, ivf, monkeypatch):
+    """Chunk-and-union above the broadcast cap must equal single-shot
+    (VERDICT r5 #1: every scan family streams the query side)."""
+    from filter_vectordb_spark.operators import knn as knn_mod
+
+    q = dense_queries(spark, SF_DIR)
+    want = ivf_search(q, *ivf, K, nprobe=NLIST).select("qid", "rank", "id")
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = ivf_search(q, *ivf, K, nprobe=NLIST).select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -244,3 +244,21 @@ def test_adc_chunks_above_broadcast_cap(spark, base, codes, codebooks, exact, mo
         "qid", "rank", "id"
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_ivfpq_chunks_above_broadcast_cap(spark, base, ivfpq, monkeypatch):
+    """Chunk-and-union above the broadcast cap must equal single-shot
+    (VERDICT r5 #1: every scan family streams the query side)."""
+    from filter_vectordb_spark.index.ivfpq import ivfpq_search
+    from filter_vectordb_spark.operators import knn as knn_mod
+
+    entries, centroids, cb = ivfpq
+    q = dense_queries(spark, SF_DIR)
+    want = ivfpq_search(q, entries, centroids, cb, base, K, nprobe=8, refine=128).select(
+        "qid", "rank", "id"
+    )
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_QUERIES", 3)
+    got = ivfpq_search(q, entries, centroids, cb, base, K, nprobe=8, refine=128).select(
+        "qid", "rank", "id"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -136,3 +136,64 @@ def test_tag_pair_knn_chunks_above_broadcast_cap(spark, tmp_path, monkeypatch):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_tag_pair_miss_branch_matches_sig_expr_plan(spark, tmp_path):
+    """VERDICT r5 #6: below-threshold pairs route through the fused
+    filtered_knn_scan kernel — results must equal the visible-plan
+    signature-check twin (filtered_knn_sig_expr) for every query,
+    built-pair or not.  min_freq picked so SOME pairs build and SOME
+    miss (both branches populated, asserted)."""
+    from filter_vectordb_spark.index.tagpart import (
+        build_tag_pair_partitions,
+        tag_pair_knn,
+    )
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_sig_expr
+    from filter_vectordb_spark.sources.vectors import dense_queries, dense_vectors
+
+    base = dense_vectors(spark, SF_DIR)
+    q = dense_queries(spark, SF_DIR).select(
+        "qid",
+        "qemb",
+        F.least(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_a"),
+        F.greatest(F.col("qtags")[0], F.col("qtags")[1]).alias("tag_b"),
+    )
+    out = str(tmp_path / "tp_miss")
+    # threshold = the median query-pair co-occurrence frequency, computed
+    # from the fixture itself, so SOME query pairs build and SOME miss
+    # whatever the fixture's tag distribution
+    from collections import Counter
+
+    tag_rows = base.select("tags").toPandas()["tags"]
+    cnt: Counter = Counter()
+    for tags in tag_rows:
+        ts = sorted(int(t) for t in tags)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                cnt[(ts[i], ts[j])] += 1
+    pairs = set(map(tuple, q.select("tag_a", "tag_b").distinct().collect()))
+    qfreqs = sorted(cnt[p] / len(tag_rows) for p in pairs)
+    build_tag_pair_partitions(base, out, min_freq=qfreqs[len(qfreqs) // 2])
+    avail = set(
+        map(tuple, spark.read.parquet(out).select("tag_a", "tag_b").distinct().collect())
+    )
+    assert pairs - avail, "fixture regression: no query pair misses the build"
+    assert pairs & avail, "fixture regression: no query pair hits the build"
+    got = (
+        tag_pair_knn(spark, out, q, 5, base=base)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    q_tags = q.select(
+        "qid", "qemb", F.array("tag_a", "tag_b").alias("qtags")
+    )
+    want = (
+        filtered_knn_sig_expr(q_tags, base, 5)
+        .select("qid", "rank", "id")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
