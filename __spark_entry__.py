@@ -30,65 +30,66 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # new this round (r5): the sub-linear OOD operating point + its exact
-    # anchor, the flagship route's first hash-checked scale row, the
-    # hashed substring-dedup scale variant, and the 100k recall/QPS curve
-    "knn_ip_1m_ivfsq",
-    "knn_ip_1m",
-    "filtered_knn_100k_nq32",
-    "dedup_substring_windows_hashed",
-    "recall_qps_curve_100k",
-    # r4-invisible (no CORRECTNESS_r04 row — rotated back per VERDICT r4 #8)
-    "tag_doc_freq",
-    "dedup_exact",
-    "hybrid_rrf_search",
-    "streaming_dedup",
-    "knn_cosine",
-    "knn_l2_expr",
-    "posting_intersection",
-    "posting_union",
-    "knn_result_matrix",
-    "recall_at_k",
-    "results_sink_roundtrip",
-    "tag_signatures",
-    "vector_norms",
-    "sparse_mips_alpha",
-    "sparse_mips_budget",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast",
-    "top_parts_per_brand",
-    "events_sessionize",
-    "orders_priority_rollup",
-    "doc_fingerprint",
-    "token_stats",
-    "text_quality",
-    "token_stats_bpe",
-    "lang_id_ngram",
-    "corpus_split",
-    "corpus_token_quantiles",
-    "corpus_stratified_sample",
-    # changed this round (tagpart chunk-and-union + skew salting, ivfsq
-    # chunking, synth v2 fixtures, eval-contamination guard, harness
-    # engine caches, knn.py streaming chunks) — must re-green
+    # new this round (r6): the 1M serving path's first HASH-CHECKED row
+    # (VERDICT r5 #4) and the 2M OOD set — exact anchor, two recall-gated
+    # IVF+SQ8 operating points, the measured recall/QPS grid (r5 #3)
+    "knn_ip_1m_nq8",
+    "knn_ip_2m",
+    "knn_ip_2m_ivfsq",
+    "knn_ip_2m_ivfsq_lo",
+    "ood_recall_curve_2m",
+    # r5-invisible (no CORRECTNESS_r05 row — rotated back per the
+    # standing contract, VERDICT r5 #7)
+    "filtered_knn_meta",
+    "filtered_knn_scan",
+    "sparse_mips",
+    "events_hourly",
+    "events_hourly_stream",
+    "events_asof_join",
+    "streaming_replay",
+    "streaming_clustered_replay",
+    "streaming_delete_replay",
+    "ivf_full_probe",
+    "pq_adc_knn",
+    "ivf_incremental_search",
+    "ivfpq_knn",
+    "text_repetition",
+    "corpus_mix_allocation",
+    "pii_scrub",
+    "signup_click_conversion",
+    "dedup_jaccard_pairs",
+    "dedup_minhash",
+    "dedup_minhash_clusters",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "media_features",
+    "media_frame_sample",
+    "uint8_knn",
+    "binfmt_roundtrip",
+    "binfmt_fetch_roundtrip",
+    "range_search_uint8",
+    "tag_pair_doc_freq",
+    "dedup_filtered_corpus",
+    "knn_l2_batch",
+    "q4_order_priority",
+    "customer_running_total",
+    "sparse_csr_roundtrip",
+    # changed this round (query-side streaming on every scan family,
+    # fused candidate scorers, vectorized F3, tag-pair miss-branch fuse,
+    # f32 precondition asserts) — must re-green
     "filtered_knn_router",
+    "filtered_knn_100k_nq32",
     "filtered_knn_100k",
-    "knn_ip_100k",
-    "sparse_mips_100k",
-    "tag_pair_partition_knn",
     "tag_partition_knn",
-    "ivfsq_knn",
+    "tag_pair_partition_knn",
     "sq_knn",
-    "eval_contamination",
-    "dedup_substring_windows",
-    "recall_qps_curve",
-    "lsh_cosine_knn",
+    "ivfsq_knn",
+    "knn_ip_1m_ivfsq",
     "filtered_knn_sig",
     "knn_l2",
-    "knn_ip",
-    # every other query was driver-green in r4 (CORRECTNESS_r04) and
-    # stays registered + pytest-checked; it re-enters the sample in r6.
+    # every other query was driver-green in r5 (CORRECTNESS_r05) and
+    # stays registered + pytest-checked; it re-enters the sample in r7.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

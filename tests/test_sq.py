@@ -200,7 +200,7 @@ def test_sq_chunks_above_broadcast_cap(spark, base, codes, grid, exact, monkeypa
 
 def test_sq_search_empty_query_set_returns_empty(spark, base, codes, grid):
     """Zero queries must yield an empty typed result, not a kernel crash
-    (union_query_chunks' shared empty-input contract)."""
+    (union_query_chunks_df's shared empty-input contract)."""
     empty_q = spark.createDataFrame([], "qid BIGINT, qemb ARRAY<FLOAT>")
     res = sq_search(empty_q, codes, *grid, base, K, refine=64)
     assert res.count() == 0
@@ -306,3 +306,36 @@ def test_ivfsq_direct_read_equals_dataframe_path(tmp_path, spark, base, ivfsq):
         ).select("qid", "rank", "id", "dist")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_ivfsq_ip_2m_recall(spark):
+    """The 2M operating-point pins (VERDICT r5 #3): both registered
+    serving points must clear their recall gates against the staged
+    numpy ground truth — nprobe=64 ("hi") ≥ 0.99, nprobe=16 ("lo") ≥ 0.9
+    (the baseline's own gate).  Tie-aware: a returned id counts when its
+    TRUE score ties-or-beats the true 10th score.  True scores of the
+    returned ids are recomputed from the closed-form generator (64
+    sampled queries × ≤10 ids — trivial)."""
+    from filter_vectordb_spark import registry
+
+    gt = registry._gt_kth_2m(spark)
+    kth = dict(zip(gt["qid"].astype(int), gt["kth"]))
+    K1, K3 = 2654435761, 2246822519
+    js = np.arange(192, dtype=np.int64)
+
+    def emb(ids):
+        ids = np.asarray(ids, dtype=np.int64)
+        return (
+            (((ids[:, None] * K1) ^ ((js[None, :] + 1) * K3)) >> 11) % 251
+        ).astype(np.float64)
+
+    for name, floor in (("knn_ip_2m_ivfsq", 0.99), ("knn_ip_2m_ivfsq_lo", 0.9)):
+        res = registry.QUERIES[name](spark, SF_DIR).toPandas()
+        rec = 0.0
+        for qid in kth:
+            ids = res[res["qid"] == qid]["id"].to_numpy()
+            assert len(ids) == K, (name, qid, len(ids))
+            scores = (emb(ids) @ emb([qid]).T).ravel()
+            rec += (scores >= kth[qid]).sum() / K
+        rec /= len(kth)
+        assert rec >= floor, f"{name}: tie-aware recall@10 {rec:.4f} < {floor}"
