@@ -31,13 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
     # new this round (r6): the 1M serving path's first HASH-CHECKED row
-    # (VERDICT r5 #4) and the 2M OOD set — exact anchor, two recall-gated
+    # (VERDICT r5 #4) and the 4M OOD set — exact anchor, two recall-gated
     # IVF+SQ8 operating points, the measured recall/QPS grid (r5 #3)
     "knn_ip_1m_nq8",
-    "knn_ip_2m",
-    "knn_ip_2m_ivfsq",
-    "knn_ip_2m_ivfsq_lo",
-    "ood_recall_curve_2m",
+    "knn_ip_4m",
+    "knn_ip_4m_ivfsq",
+    "knn_ip_4m_ivfsq_lo",
+    "ood_recall_curve_4m",
     # r5-invisible (no CORRECTNESS_r05 row — rotated back per the
     # standing contract, VERDICT r5 #7)
     "filtered_knn_meta",

@@ -35,8 +35,8 @@ ALWAYS_RERUN = {
     "sparse_mips_100k",
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
-    "knn_ip_2m_ivfsq",
-    "knn_ip_2m_ivfsq_lo",
+    "knn_ip_4m_ivfsq",
+    "knn_ip_4m_ivfsq_lo",
     # multi-job replay: the only non-scale query whose +0.7s r5 wobble
     # had no runs array to prove it was host noise (VERDICT r5 #8)
     "streaming_replay",
@@ -107,14 +107,14 @@ BENCH_QUERIES = [
     # per-run times recorded (see "runs" in the output)
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
-    # the 2M OOD set (VERDICT r5 #3): exact anchor (single ~27s run —
-    # past RERUN_BELOW_SEC by design) vs two recall-gated IVF+SQ8
-    # operating points (nprobe 64 ≈ recall 1.0, nprobe 16 ≈ the 0.9
-    # gate), plus the measured recall/QPS grid as a curve artifact
-    "knn_ip_2m",
-    "knn_ip_2m_ivfsq",
-    "knn_ip_2m_ivfsq_lo",
-    "ood_recall_curve_2m",
+    # the 4M OOD set (VERDICT r5 #3): exact anchor vs two recall-gated
+    # IVF+SQ8 operating points (nprobe 32 = recall 1.0 measured,
+    # nprobe 16 = the 0.9 gate with margin), plus the measured
+    # recall/QPS grid as a curve artifact
+    "knn_ip_4m",
+    "knn_ip_4m_ivfsq",
+    "knn_ip_4m_ivfsq_lo",
+    "ood_recall_curve_4m",
     # knn_ip_100k (BASELINE row-3 point) is correctness-gated but NOT
     # benched: its one long BLAS job amplifies host-load noise 5-10x
     # (measured 6-15s clean vs 45-78s under steal bursts), which would
@@ -158,8 +158,8 @@ def main() -> None:
         "streaming_clustered_replay",
         "sparse_mips_100k",
         "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
-        "knn_ip_2m_ivfsq",  # stages the 2M base + builds IVF(1414)+SQ8
-        "ood_recall_curve_2m",  # stages the 2M numpy ground truth
+        "knn_ip_4m_ivfsq",  # stages the 4M base + builds IVF(2000)+SQ8
+        "ood_recall_curve_4m",  # stages the 4M numpy ground truth
         # not an index build: first stateful-stream start pays one-time
         # Python worker + state-store spin-up (~10s); warm it so the
         # timed entry measures the stream, not engine init

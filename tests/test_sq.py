@@ -308,17 +308,17 @@ def test_ivfsq_direct_read_equals_dataframe_path(tmp_path, spark, base, ivfsq):
         assert want.exceptAll(got).count() == 0
 
 
-def test_ivfsq_ip_2m_recall(spark):
+def test_ivfsq_ip_4m_recall(spark):
     """The 2M operating-point pins (VERDICT r5 #3): both registered
     serving points must clear their recall gates against the staged
-    numpy ground truth — nprobe=64 ("hi") ≥ 0.99, nprobe=16 ("lo") ≥ 0.9
-    (the baseline's own gate).  Tie-aware: a returned id counts when its
+    numpy ground truth — nprobe=16 ("hi") ≥ 0.99, nprobe=10 ("lo") ≥ 0.9
+    (the baseline's own gate; measured 1.0000 and 0.9641).  Tie-aware: a returned id counts when its
     TRUE score ties-or-beats the true 10th score.  True scores of the
     returned ids are recomputed from the closed-form generator (64
     sampled queries × ≤10 ids — trivial)."""
     from filter_vectordb_spark import registry
 
-    gt = registry._gt_kth_2m(spark)
+    gt = registry._gt_kth_4m(spark)
     kth = dict(zip(gt["qid"].astype(int), gt["kth"]))
     K1, K3 = 2654435761, 2246822519
     js = np.arange(192, dtype=np.int64)
@@ -329,7 +329,7 @@ def test_ivfsq_ip_2m_recall(spark):
             (((ids[:, None] * K1) ^ ((js[None, :] + 1) * K3)) >> 11) % 251
         ).astype(np.float64)
 
-    for name, floor in (("knn_ip_2m_ivfsq", 0.99), ("knn_ip_2m_ivfsq_lo", 0.9)):
+    for name, floor in (("knn_ip_4m_ivfsq", 0.99), ("knn_ip_4m_ivfsq_lo", 0.9)):
         res = registry.QUERIES[name](spark, SF_DIR).toPandas()
         rec = 0.0
         for qid in kth:
