@@ -35,6 +35,7 @@ ALWAYS_RERUN = {
     "sparse_mips_100k",
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
+    "knn_ip_4m",
     "knn_ip_4m_ivfsq",
     "knn_ip_4m_ivfsq_lo",
     # multi-job replay: the only non-scale query whose +0.7s r5 wobble
@@ -108,13 +109,15 @@ BENCH_QUERIES = [
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
     # the 4M OOD set (VERDICT r5 #3): exact anchor vs two recall-gated
-    # IVF+SQ8 operating points (nprobe 32 = recall 1.0 measured,
-    # nprobe 16 = the 0.9 gate with margin), plus the measured
-    # recall/QPS grid as a curve artifact
+    # IVF+SQ8 operating points (nprobe 16 = recall 1.0000 measured,
+    # nprobe 10 = smallest clearing the 0.9 gate at 0.9641) — all three
+    # min-of-3 with per-run times.  The recall/QPS grid itself
+    # (ood_recall_curve_4m) is produced as a persisted artifact by the
+    # warm phase but NOT timed here: its 6-point sweep is minutes of
+    # wall whose QPS columns are already recorded inside the artifact.
     "knn_ip_4m",
     "knn_ip_4m_ivfsq",
     "knn_ip_4m_ivfsq_lo",
-    "ood_recall_curve_4m",
     # knn_ip_100k (BASELINE row-3 point) is correctness-gated but NOT
     # benched: its one long BLAS job amplifies host-load noise 5-10x
     # (measured 6-15s clean vs 45-78s under steal bursts), which would
@@ -159,7 +162,8 @@ def main() -> None:
         "sparse_mips_100k",
         "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
         "knn_ip_4m_ivfsq",  # stages the 4M base + builds IVF(2000)+SQ8
-        "ood_recall_curve_4m",  # stages the 4M numpy ground truth
+        "ood_recall_curve_4m",  # stages the 4M ground truth + refreshes
+        # the persisted recall/QPS curve artifact (parquet + CSV)
         # not an index build: first stateful-stream start pays one-time
         # Python worker + state-store spin-up (~10s); warm it so the
         # timed entry measures the stream, not engine init
