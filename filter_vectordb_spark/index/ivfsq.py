@@ -87,6 +87,30 @@ def save_ivfsq(
 #: `ood/diskann/diskann-in-mem.py:159-163`)
 _LOAD_CACHE: dict = {}
 
+#: (centroids DataFrame identity) → (strong df ref, C, cids): the
+#: driver-side centroid matrix is nlist rows but collecting it is a
+#: whole Spark job per serving call; load_ivfsq returns the SAME
+#: DataFrame object across calls, so identity-keying makes repeat
+#: serving pay the collect once.  Strong refs keep id() stable; the
+#: cache is capped (serving sessions hold a handful of live indexes).
+_CENTROID_CACHE: dict = {}
+
+
+def _centroid_matrix(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    key = id(centroids)
+    hit = _CENTROID_CACHE.get(key)
+    if hit is None or hit[0] is not centroids:
+        cpdf = centroids.toPandas()  # nlist rows — tiny by construction
+        if len(_CENTROID_CACHE) >= 8:
+            _CENTROID_CACHE.clear()
+        hit = (
+            centroids,
+            np.stack(cpdf["centroid"].to_numpy()).astype(np.float64),
+            cpdf["centroid_id"].to_numpy(),
+        )
+        _CENTROID_CACHE[key] = hit
+    return hit[1], hit[2]
+
 
 def load_ivfsq(spark: SparkSession, out_dir: str):
     import os
@@ -366,6 +390,21 @@ def _ivfsq_score_chunk_direct(
     return fdf.mapInArrow(serve, schema="qid long, id long, adist double")
 
 
+def _assert_integer_queries(chunk_pdf) -> None:
+    """exact_codes precondition on the query side (per chunk): integer
+    components with |q| ≤ 255 and d ≤ 192 keep every f32 product and
+    partial sum an exactly-representable integer (< 2²⁴) — the same
+    proof as knn_join's compute_dtype='float32' contract."""
+    Q = np.stack(chunk_pdf["qemb"].to_numpy()).astype(np.float64)
+    if Q.shape[1] > 192 or not (
+        np.abs(Q).max(initial=0.0) <= 255 and np.array_equal(Q, np.rint(Q))
+    ):
+        raise ValueError(
+            "exact_codes=True requires integer-valued queries with "
+            "|component| <= 255 and d <= 192 (f32 exactness precondition)"
+        )
+
+
 def ivfsq_search(
     queries: DataFrame,
     entries: DataFrame,
@@ -380,6 +419,7 @@ def ivfsq_search(
     q_id: str = "qid",
     q_vec: str = "qemb",
     entries_dir: str | None = None,
+    exact_codes: bool = False,
 ) -> DataFrame:
     """Probe `nprobe` lists per query, reconstruction-score only their
     codes, cut to `refine`, exact-rescore survivors.  metric ∈ {l2, ip}
@@ -390,35 +430,62 @@ def ivfsq_search(
     saved index's `<out>/entries` path) the probed lists are read
     directly with pyarrow in the tasks — identical results, serving-path
     cost model (see _ivfsq_score_chunk_direct).  Returns
-    (qid, id, dist, rank)."""
+    (qid, id, dist, rank).
+
+    exact_codes=True (uint8-corpus serving mode): requires a LOSSLESS
+    snapped grid (is_lossless_grid — codes roundtrip the integer
+    corpus exactly) and integer queries (asserted per chunk); the ADC
+    scores are then EXACT distances, so the top-k is taken straight
+    from the scan and the cut + base-gather + rescore half of the
+    pipeline disappears — fewer jobs, no full read of the float table.
+    Results are identical to the rescore path; what changes is cost."""
     if metric not in ("l2", "ip"):
         raise ValueError("metric must be 'l2' or 'ip'")
+    from filter_vectordb_spark.index.sq import is_lossless_grid
     from filter_vectordb_spark.operators.knn import (
         pairwise_scores,
         union_query_chunks_df,
     )
 
-    cpdf = centroids.toPandas()  # nlist rows — tiny by construction
-    C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
-    cids = cpdf["centroid_id"].to_numpy()
+    if exact_codes and not is_lossless_grid(vmin, vmax):
+        raise ValueError(
+            "exact_codes=True requires a lossless integer-snapped grid "
+            "(train_sq snap_integer on an integer corpus)"
+        )
+    C, cids = _centroid_matrix(centroids)
     spark = entries.sparkSession
     q = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qemb"))
-    if entries_dir is not None:
-        score_chunk = lambda ch: _ivfsq_score_chunk_direct(  # noqa: E731
-            ch, spark, entries_dir, C, cids, vmin, vmax, nprobe, refine, metric
+    # exact mode keeps `refine` as the scan's per-task partial width: it
+    # is the tie-slack knob (integer scores DO tie at the k-th; the
+    # selection kernels' boundary-tie pick is composition-dependent, so
+    # slack lets the final (dist, id) ordering see every tying candidate)
+    rf = refine
+
+    def score_chunk(ch):
+        if exact_codes:
+            _assert_integer_queries(ch)
+        if entries_dir is not None:
+            return _ivfsq_score_chunk_direct(
+                ch, spark, entries_dir, C, cids, vmin, vmax, nprobe, rf, metric
+            )
+        return _ivfsq_score_chunk(
+            ch, entries, C, cids, vmin, vmax, nprobe, rf, metric
         )
-    else:
-        score_chunk = lambda ch: _ivfsq_score_chunk(  # noqa: E731
-            ch, entries, C, cids, vmin, vmax, nprobe, refine, metric
-        )
+
     scored = union_query_chunks_df(
         q,
         score_chunk,
         "qid LONG, id LONG, adist DOUBLE",
     )
     adist_first = F.col("adist").desc() if metric == "ip" else F.col("adist").asc()
+    if exact_codes:
+        return per_group_topk(
+            scored, ["qid"], [adist_first, F.col("id").asc()], k
+        ).select(
+            "qid", "id", F.col("adist").alias("dist"), "rank"
+        )
     cut = per_group_topk(
-        scored, ["qid"], [adist_first, F.col("id").asc()], refine
+        scored, ["qid"], [adist_first, F.col("id").asc()], rf
     ).select("qid", "id")
     b = base.select("id", "emb")
     pairs_df = b.join(F.broadcast(cut), "id").join(F.broadcast(q), "qid")

@@ -42,13 +42,25 @@ from filter_vectordb_spark.operators.knn import pairwise_l2_scores
 from filter_vectordb_spark.operators.topk import per_group_topk
 
 
-def train_sq(base: DataFrame, b_vec: str = "emb") -> tuple[np.ndarray, np.ndarray]:
+def train_sq(
+    base: DataFrame, b_vec: str = "emb", snap_integer: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
     """(vmin, vmax) float64[d] — exact per-dimension extrema of the corpus.
 
-    One Arrow pass emits d (pos, min, max) rows per batch; the final
-    groupBy moves d·nbatches tiny rows — no full-corpus shuffle.  faiss
-    trains SQ on a sample; exact extrema are just as cheap here and make
-    the codec deterministic."""
+    One Arrow pass emits d (pos, min, max, allint) rows per batch; the
+    final groupBy moves d·nbatches tiny rows — no full-corpus shuffle.
+    faiss trains SQ on a sample; exact extrema are just as cheap here
+    and make the codec deterministic.
+
+    snap_integer: when EVERY component of the corpus is integer-valued
+    and every dimension's range fits 255, widen vmax to vmin+255 so the
+    affine grid's scale is exactly 1 — the codec becomes LOSSLESS
+    (code = x − vmin roundtrips exactly), which is the uint8-corpus
+    regime of the reference's filter track (yfcc is 192-d uint8).  A
+    lossless grid lets search take the ADC scores as EXACT and skip the
+    refine+rescore half of the pipeline (ivfsq_search(exact_codes=)).
+    Non-integer corpora are never snapped: for data spanning less than
+    255 the un-snapped grid is strictly finer."""
 
     def partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -60,18 +72,43 @@ def train_sq(base: DataFrame, b_vec: str = "emb") -> tuple[np.ndarray, np.ndarra
                     "pos": np.arange(X.shape[1], dtype=np.int32),
                     "mn": X.min(axis=0),
                     "mx": X.max(axis=0),
+                    "allint": np.full(
+                        X.shape[1], bool(np.array_equal(X, np.rint(X)))
+                    ),
                 }
             )
 
     stats = (
         base.select(b_vec)
-        .mapInPandas(partial, schema="pos int, mn double, mx double")
+        .mapInPandas(partial, schema="pos int, mn double, mx double, allint boolean")
         .groupBy("pos")
-        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .agg(
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.min("allint").alias("allint"),
+        )
         .toPandas()
         .sort_values("pos")
     )
-    return stats["mn"].to_numpy(), stats["mx"].to_numpy()
+    vmin = stats["mn"].to_numpy()
+    vmax = stats["mx"].to_numpy()
+    if (
+        snap_integer
+        and len(stats)
+        and bool(stats["allint"].all())
+        and float((vmax - vmin).max(initial=0.0)) <= 255.0
+    ):
+        vmax = vmin + 255.0
+    return vmin, vmax
+
+
+def is_lossless_grid(vmin: np.ndarray, vmax: np.ndarray) -> bool:
+    """True iff the affine grid decodes integer corpora exactly:
+    integral vmin and scale exactly 1 on every dimension (the
+    snap_integer outcome)."""
+    return bool(
+        np.array_equal(vmin, np.rint(vmin)) and np.all(vmax - vmin == 255.0)
+    )
 
 
 def _scales(vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:

@@ -2648,14 +2648,19 @@ def knn_ip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfsq_1m(spark: SparkSession):
     """Build-once (faiss protocol: coarse quantizer trained on a 100k
     sample, everything assigned) and load the 1M IVF(256)+SQ8 index.
-    Returns (entries, centroids, vmin, vmax, out_dir)."""
+    Returns (entries, centroids, vmin, vmax, out_dir).
+
+    _g2: integer-snapped lossless grid (train_sq snap_integer) +
+    the deterministic driver-side coarse trainer (coarse="numpy" on the
+    id-ordered sample) — MLlib's limit()-sampled clustering varied
+    across rebuilds, which silently shifted partial-probe recall."""
     from filter_vectordb_spark.index.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
 
     base = _synth1m_base(spark)
-    out = _index_cache_dir("synth1m_v2", "ivfsq256")
+    out = _index_cache_dir("synth1m_v2", "ivfsq256_g2")
     if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
         entries, centroids, vmin, vmax = build_ivfsq(
-            base, nlist=256, max_iter=16, train_rows=100_000
+            base, nlist=256, max_iter=16, train_rows=100_000, coarse="numpy"
         )
         save_ivfsq(entries, centroids, vmin, vmax, out)
     return (*load_ivfsq(spark, out), out)
@@ -2697,16 +2702,19 @@ FROM r WHERE rank <= 10
 @register("knn_ip_1m_nq8", _IP_1M_NQ8_ORACLE)
 def knn_ip_1m_nq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-CHECKED twin of the 1M serving path (VERDICT r5 #4): 8 dense
-    IP queries through the IDENTICAL IVF(256)+SQ8 direct-read route as
-    knn_ip_1m_ivfsq — value-level correctness for
-    `ivfsq_search(entries_dir=)` end-to-end, where the 2048-query point
-    is rows-only.  nprobe=32 (vs the bench point's 16): measured on the
-    deterministic fixture, nprobe=16 misses one true neighbor on 4 of
-    THESE 8 queries (the r5 recall-1.0 claim held for the every-32nd
-    sampled queries, not qids 2/3/4/6); 32 is the smallest grid point
-    whose result EQUALS the exact DuckDB oracle — still 1/8 of the
-    lists, same plan shape.  IP over 0..250 integers is integer-exact
-    in float64, cast BIGINT on both sides."""
+    IP queries through the IDENTICAL IVF(256)+SQ8 direct-read
+    exact_codes route as knn_ip_1m_ivfsq — value-level correctness for
+    `ivfsq_search(entries_dir=, exact_codes=True)` end-to-end, where
+    the 2048-query point is rows-only.  nprobe=nlist (full probe): with
+    every list probed and exact lossless-code scores, the result equals
+    brute force BY CONSTRUCTION, so this row can never flake on a
+    clustering rebuild — partial-probe recall was measured to shift
+    across k-means runs (nprobe=16 missed one true neighbor on 4 of
+    these 8 queries on one build; a rebuild moved the same id out of
+    even the top-64 lists).  The partial-probe operating points carry
+    recall PINS (tests/test_sq.py) instead of hash rows, the
+    reference's own discipline for approximate configs.  IP over 0..250
+    integers is integer-exact, cast BIGINT on both sides."""
     from filter_vectordb_spark.index.ivfsq import ivfsq_search
 
     base = _synth1m_base(spark)
@@ -2715,8 +2723,8 @@ def knn_ip_1m_nq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "qemb"
     )
     return ivfsq_search(
-        q, entries, centroids, vmin, vmax, base, 10, nprobe=32, refine=32,
-        metric="ip", entries_dir=f"{out}/entries",
+        q, entries, centroids, vmin, vmax, base, 10, nprobe=256, refine=32,
+        metric="ip", entries_dir=f"{out}/entries", exact_codes=True,
     ).select("qid", "rank", "id", F.col("dist").cast("long").alias("dist"))
 
 
@@ -2743,7 +2751,7 @@ def knn_ip_1m_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _synth_queries_staged(spark, nq=2048).select("qid", "qemb")
     return ivfsq_search(
         q, entries, centroids, vmin, vmax, base, 10, nprobe=16, refine=32,
-        metric="ip", entries_dir=f"{out}/entries",
+        metric="ip", entries_dir=f"{out}/entries", exact_codes=True,
     ).select("qid", "rank", "id")
 
 
@@ -2802,7 +2810,7 @@ def _ivfsq_4m(spark: SparkSession):
     from filter_vectordb_spark.index.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
 
     base = _synth4m_base(spark)
-    out = _index_cache_dir("synth4m_v2", f"ivfsq{_4M_NLIST}")
+    out = _index_cache_dir("synth4m_v2", f"ivfsq{_4M_NLIST}_g1")
     if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
         entries, centroids, vmin, vmax = build_ivfsq(
             base, nlist=_4M_NLIST, max_iter=12, train_rows=200_000, coarse="numpy"
@@ -2835,6 +2843,7 @@ def _knn_ip_4m_served(spark: SparkSession, nprobe: int) -> DataFrame:
     return ivfsq_search(
         q, entries, centroids, vmin, vmax, base, 10, nprobe=nprobe,
         refine=_4M_REFINE, metric="ip", entries_dir=f"{out}/entries",
+        exact_codes=True,
     ).select("qid", "rank", "id")
 
 
@@ -2925,6 +2934,7 @@ def ood_recall_curve_4m(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = ivfsq_search(
             q, entries, centroids, vmin, vmax, base, 10, nprobe=nprobe,
             refine=_4M_REFINE, metric="ip", entries_dir=f"{out}/entries",
+            exact_codes=True,
         ).select("qid", "id", "dist")
         pdf = res.toPandas()
         wall = time.perf_counter() - t0

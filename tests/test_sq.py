@@ -339,3 +339,58 @@ def test_ivfsq_ip_4m_recall(spark):
             rec += (scores >= kth[qid]).sum() / K
         rec /= len(kth)
         assert rec >= floor, f"{name}: tie-aware recall@10 {rec:.4f} < {floor}"
+
+
+def test_integer_snap_grid_is_lossless_and_exact_codes_serving(spark):
+    """uint8-corpus serving mode: train_sq snaps an integer corpus's grid
+    to scale 1 (lossless — codes roundtrip exactly), and
+    ivfsq_search(exact_codes=True) equals brute-force IP k-NN while
+    skipping the rescore half of the pipeline.  Float corpora must NOT
+    snap (the un-snapped grid is strictly finer there)."""
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq, ivfsq_search
+    from filter_vectordb_spark.index.sq import is_lossless_grid
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+
+    base = synth_uint8_base(spark, n=2000).select("id", "emb").localCheckpoint()
+    entries, centroids, vmin, vmax = build_ivfsq(base, nlist=8)
+    assert is_lossless_grid(vmin, vmax)
+    # roundtrip exactness: decode(encode(x)) == x on every component
+    from filter_vectordb_spark.index.sq import encode_sq
+
+    pdf = encode_sq(base, vmin, vmax).join(base, "id").limit(200).toPandas()
+    X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+    Cc = np.stack(pdf["codes"].to_numpy()).astype(np.float64) + 128.0
+    assert np.array_equal(vmin[None, :] + Cc, X)
+    q = synth_queries(spark, nq=16).select("qid", "qemb")
+    got = ivfsq_search(
+        entries=entries, centroids=centroids, vmin=vmin, vmax=vmax,
+        queries=q, base=base, k=K, nprobe=8, refine=32, metric="ip",
+        exact_codes=True,
+    ).select("qid", "rank", "id")
+    want = knn_join(q, base, K, metric="ip").select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_exact_codes_rejects_lossy_grid_and_float_queries(spark, base, codes, grid):
+    """exact_codes must refuse a non-snapped (float-corpus) grid, and a
+    snapped index must refuse non-integer queries — silent approximation
+    is never allowed under the exactness flag."""
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq, ivfsq_search
+    from filter_vectordb_spark.index.sq import is_lossless_grid
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+    vmin, vmax = grid  # float fixture: must NOT have snapped
+    assert not is_lossless_grid(vmin, vmax)
+    ib = synth_uint8_base(spark, n=500).select("id", "emb").localCheckpoint()
+    entries, centroids, ivmin, ivmax = build_ivfsq(ib, nlist=4)
+    q_float = dense_queries(spark, SF_DIR)
+    with pytest.raises(ValueError, match="lossless"):
+        ivfsq_search(
+            q_float, entries, centroids, vmin, vmax, ib, K, nprobe=4,
+            refine=32, metric="ip", exact_codes=True,
+        )
+    with pytest.raises(Exception, match="integer-valued"):
+        ivfsq_search(
+            q_float, entries, centroids, ivmin, ivmax, ib, K, nprobe=4,
+            refine=32, metric="ip", exact_codes=True,
+        ).count()
