@@ -34,6 +34,7 @@ _PRIORITY = [
     # (VERDICT r5 #4) and the 4M OOD set — exact anchor, two recall-gated
     # IVF+SQ8 operating points, the measured recall/QPS grid (r5 #3)
     "knn_ip_1m_nq8",
+    "media_decode_stats",
     "knn_ip_4m",
     "knn_ip_4m_ivfsq",
     "knn_ip_4m_ivfsq_lo",
@@ -87,7 +88,6 @@ _PRIORITY = [
     "ivfsq_knn",
     "knn_ip_1m_ivfsq",
     "filtered_knn_sig",
-    "knn_l2",
     # every other query was driver-green in r5 (CORRECTNESS_r05) and
     # stays registered + pytest-checked; it re-enters the sample in r7.
 ]

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dedup_substring_windows_hashed",
     "lang_id_ngram",
     "media_features",
+    "media_decode_stats",
     "uint8_knn",
     "binfmt_roundtrip",
     "lsh_cosine_knn",

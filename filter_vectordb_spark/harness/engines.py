@@ -93,8 +93,22 @@ class FilteredEngine(BaseEngine):
         return dense_vectors(spark, sf_dir)
 
     def fit(self, spark: SparkSession, sf_dir: str) -> None:
+        from filter_vectordb_spark.operators.postings import explode_tags
+
         self.base = self._tagged_base(spark, sf_dir)
         self.n_base = self.base.count()
+        # A1 routing statistics belong to fit(), not to every query run
+        # (the reference computes them once at fit time,
+        # `filter/faiss/faiss.py:238-239`); without this every measured
+        # run paid a full base explode+shuffle before routing
+        import pyspark.sql.functions as F
+
+        self.stats = (
+            explode_tags(self.base)
+            .groupBy("tag")
+            .agg(F.count("*").alias("ndoc"))
+            .localCheckpoint()
+        )
 
     def default_queries(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         if self.index_params.get("source") == "synth100k":
@@ -108,7 +122,10 @@ class FilteredEngine(BaseEngine):
 
     def query(self, queries: DataFrame, k: int) -> DataFrame:
         mt = float(self.query_args.get("mt_threshold", 0.01))
-        return filtered_knn(queries, self.base, k, mt_threshold=mt, n_base=self.n_base)
+        return filtered_knn(
+            queries, self.base, k, mt_threshold=mt, n_base=self.n_base,
+            stats=self.stats,
+        )
 
     def exact_truth(self, spark, sf_dir, queries, k):
         """Ground truth respects the tag predicate (the reference's

@@ -292,10 +292,17 @@ def filtered_knn(
         "selective",
         F.coalesce("selective", F.lit(False)),
     )
-    meta = filtered_knn_metadata_first(
-        routed.filter(F.col("selective")).drop("selective"), base, k
-    )
-    scan = filtered_knn_scan(
-        routed.filter(~F.col("selective")).drop("selective"), base, k
-    )
-    return meta.unionByName(scan)
+    sel_q = routed.filter(F.col("selective")).drop("selective")
+    scan_q = routed.filter(~F.col("selective")).drop("selective")
+    # Skip a branch no query routed to: its plan still launches
+    # base-side work (the meta branch explodes the base's postings even
+    # against an empty query side) — at 100 TB the un-taken branch is a
+    # full-corpus pass for nothing.  The probe is one query-side-only
+    # job (est = queries ⋈ broadcast(stats)); the scan branch already
+    # self-skips via union_query_chunks_df's empty-input contract.
+    if sel_q.isEmpty():
+        return filtered_knn_scan(scan_q, base, k)
+    meta = filtered_knn_metadata_first(sel_q, base, k)
+    if scan_q.isEmpty():
+        return meta
+    return meta.unionByName(filtered_knn_scan(scan_q, base, k))

@@ -2117,6 +2117,39 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4)
 
 
+@register(
+    "media_decode_stats",
+    """
+WITH img AS (
+  SELECT i.range AS id, 'image' AS media_type, CAST(576 AS BIGINT) AS n_values,
+         CAST(SUM(((xor(i.range*2654435761, (j.range+1)*2246822519)) >> 11) % 251)
+              AS BIGINT) AS value_sum
+  FROM range(0, 200, 2) i, range(576) j GROUP BY i.range
+),
+aud AS (
+  SELECT i.range AS id, 'audio' AS media_type, CAST(64 AS BIGINT) AS n_values,
+         CAST(SUM((((xor(i.range*2654435761, (j.range+1)*2246822519)) >> 11) % 251) - 125)
+              AS BIGINT) AS value_sum
+  FROM range(1, 200, 2) i, range(64) j GROUP BY i.range
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+""",
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (no fake path): genuine PPM P6 and
+    PCM-16 WAV payloads generated from the closed-form pattern, parsed
+    by the pure numpy decoders (operators/multimodal.py), pixel/sample
+    sums hash-checked against a DuckDB oracle that regenerates the
+    payload values — a header-math, row-padding, or sample-width bug
+    shows as a value mismatch, not just a crash."""
+    from filter_vectordb_spark.operators.multimodal import (
+        media_decode_stats as _stats,
+        media_real_table,
+    )
+
+    return _stats(media_real_table(spark))
+
+
 # --------------------------------------------- uint8 domain + binary source
 
 from filter_vectordb_spark.sources.vectors import DUCKDB_QUANTIZE  # noqa: E402
