@@ -48,27 +48,40 @@ def _lloyd_blocked(X: np.ndarray, ids: np.ndarray, k: int, iters: int) -> np.nda
     idx = order[np.round(np.linspace(0, n - 1, min(k, n))).astype(int)]
     C = X[idx].astype(np.float64).copy()
     X32 = X.astype(np.float32)
+    # ‖x‖² is dropped from the assignment key (constant per row — valid
+    # for the per-row argmin) but must be ADDED BACK before comparing
+    # distances ACROSS rows, or the farthest-point reseed ranks on the
+    # wrong key and can pick near points (ADVICE r6)
+    xn32 = (X32 * X32).sum(axis=1)
     rows = np.arange(n)
-    for _ in range(iters):
-        C32 = C.astype(np.float32)
-        cn = (C32 * C32).sum(axis=1)
-        assign = np.empty(n, dtype=np.int64)
-        mind = np.empty(n, dtype=np.float32)
-        for lo in range(0, n, 8192):
-            Xc = X32[lo : lo + 8192]
-            Dc = cn[None, :] - 2.0 * (Xc @ C32.T)  # ‖x‖² constant per row
-            a = Dc.argmin(axis=1)
-            assign[lo : lo + 8192] = a
-            mind[lo : lo + 8192] = Dc[np.arange(len(a)), a]
-        counts = np.bincount(assign, minlength=len(C))
-        S = np.zeros((len(C), d))
-        np.add.at(S, assign, X)
-        nonempty = counts > 0
-        C[nonempty] = S[nonempty] / counts[nonempty, None]
-        empty = np.flatnonzero(~nonempty)
-        if len(empty):
-            far = rows[np.argsort(-mind, kind="stable")[: len(empty)]]
-            C[empty] = X[far]
+    # the assignment GEMM is a DRIVER-side kernel — borrow the idle cores
+    # (executors are not running during coarse training) and hand them
+    # back on exit; measured ~3× on the 200k × 3200 training block
+    from filter_vectordb_spark.index.ivfsq import driver_blas
+
+    import os as _os
+
+    with driver_blas(_os.cpu_count() or 8):
+        for _ in range(iters):
+            C32 = C.astype(np.float32)
+            cn = (C32 * C32).sum(axis=1)
+            assign = np.empty(n, dtype=np.int64)
+            mind = np.empty(n, dtype=np.float32)
+            for lo in range(0, n, 8192):
+                Xc = X32[lo : lo + 8192]
+                Dc = cn[None, :] - 2.0 * (Xc @ C32.T)  # ‖x‖² constant per row
+                a = Dc.argmin(axis=1)
+                assign[lo : lo + 8192] = a
+                mind[lo : lo + 8192] = Dc[np.arange(len(a)), a]
+            counts = np.bincount(assign, minlength=len(C))
+            S = np.zeros((len(C), d))
+            np.add.at(S, assign, X)
+            nonempty = counts > 0
+            C[nonempty] = S[nonempty] / counts[nonempty, None]
+            empty = np.flatnonzero(~nonempty)
+            if len(empty):
+                far = rows[np.argsort(-(mind + xn32), kind="stable")[: len(empty)]]
+                C[empty] = X[far]
     return C
 
 

@@ -81,6 +81,13 @@ def save_ivfsq(
         del _LOAD_CACHE[key]
 
 
+#: max probing queries per scan task (hot-list query slicing — see
+#: _ivfsq_score_chunk_direct): bounds one task's GEMM at
+#: _QSLICE × list_rows and its selection at the same key count.
+#: 512 measured best at the 10M point (finer slices pack the hot lists
+#: across all slots; a slice's file re-read is page-cache resident)
+_QSLICE = 512
+
 #: per-session memo of loaded index metadata — a serving path re-reading
 #: the centroid/grid tables per query batch pays 2-3 small Spark jobs of
 #: pure overhead (the reference loads its index once, then serves:
@@ -137,30 +144,114 @@ def load_ivfsq(spark: SparkSession, out_dir: str):
     return hit
 
 
+def _driver_blas_threads() -> "object | None":
+    """ctypes handle to numpy's bundled OpenBLAS thread setter (the
+    ILP64 build suffixes symbols with `64_`), or None.  The session
+    pins OPENBLAS_NUM_THREADS=1 process-wide so EXECUTOR workers never
+    oversubscribe N² threads — but the DRIVER-side ranking GEMM then
+    runs single-threaded on a 32-core box (measured 12.2 s vs 4.2 s for
+    the nq=64k ranking block).  The setter lets driver-only kernels
+    borrow the cores and hand them back."""
+    global _BLAS_SETTER
+    if _BLAS_SETTER is _UNSET:
+        import ctypes
+        import glob
+        import os
+
+        _BLAS_SETTER = None
+        for pat in ("numpy.libs/*openblas*", "scipy.libs/*openblas*"):
+            hits = glob.glob(os.path.join(np.__path__[0], "..", pat))
+            if hits:
+                lib = ctypes.CDLL(hits[0])
+                for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                    fn = getattr(lib, sym, None)
+                    if fn is not None:
+                        _BLAS_SETTER = fn
+                        break
+                break
+    return _BLAS_SETTER
+
+
+_UNSET = object()
+_BLAS_SETTER = _UNSET
+
+
+class driver_blas:
+    """Context manager: multithreaded BLAS for a DRIVER-side kernel,
+    restored to 1 thread on exit (the executor-side invariant)."""
+
+    def __init__(self, n: int):
+        self.n = max(1, int(n))
+
+    def __enter__(self):
+        fn = _driver_blas_threads()
+        if fn is not None and self.n > 1:
+            fn(self.n)
+        return self
+
+    def __exit__(self, *exc):
+        fn = _driver_blas_threads()
+        if fn is not None and self.n > 1:
+            fn(1)
+        return False
+
+
+def _rank_smallest(key: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row column indices of the kk smallest entries (unordered).
+    kk repeated argmin passes for small kk: introselect costs ~60 ns/elem
+    on this host (12.6 s on a 210M-element ranking matrix) where a
+    vectorized min-scan is memory-bandwidth (~0.05 s/pass); argpartition
+    only wins past kk ≈ 8."""
+    nr, nc = key.shape
+    if kk >= nc:
+        return np.tile(np.arange(nc), (nr, 1))
+    if kk > 8:
+        return np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    work = key.copy()
+    out = np.empty((nr, kk), dtype=np.int64)
+    rows = np.arange(nr)
+    big = np.float32(np.inf) if key.dtype == np.float32 else np.inf
+    for j in range(kk):
+        c = work.argmin(axis=1)
+        out[:, j] = c
+        work[rows, c] = big
+    return out
+
+
 def _probe_map(
     chunk_pdf, C: np.ndarray, cids: np.ndarray, nprobe: int, metric: str
 ) -> tuple[np.ndarray, np.ndarray, dict[int, np.ndarray]]:
     """(qids, Q, {centroid_id → probing query positions}) — the driver-side
     centroid ranking (nlist × d work, tiny by construction).
 
-    Fully vectorized: argpartition (the per-query probe SET is all that
-    matters — probe_map only groups positions by list, so within-row
-    order is irrelevant) + one stable grouping sort over the nq×nprobe
-    pairs.  The previous per-pair Python loop measured 1.07 s at
-    nq=8192 × nprobe=16 — longer than the distributed scan it fed."""
+    Fully vectorized: kk-pass argmin / argpartition (the per-query probe
+    SET is all that matters — probe_map only groups positions by list,
+    so within-row order is irrelevant) + one stable grouping sort over
+    the nq×nprobe pairs.  The previous per-pair Python loop measured
+    1.07 s at nq=8192 × nprobe=16 — longer than the distributed scan it
+    fed; the r6 single argpartition then became the floor itself at
+    larger batches (12.6 s at nq=64k)."""
     qids_np = chunk_pdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(chunk_pdf["qemb"].to_numpy()).astype(np.float64)
+    # rank in float32: probe selection is a heuristic (recall is measured
+    # and pinned downstream; full-probe rows are order-independent), and
+    # the f64 GEMM costs ~0.6 s at nq=8k × nlist=3.2k on this host's
+    # OpenBLAS — pure serving-floor overhead.  The GEMM itself borrows
+    # the driver's cores (driver_blas) — executors are not running
+    # while the driver plans, so the cores are idle anyway.
+    import os
+
+    Q32, C32 = Q.astype(np.float32), C.astype(np.float32)
+    with driver_blas(os.cpu_count() or 8):
+        G = Q32 @ C32.T
     if metric == "ip":
         # faiss METRIC_INNER_PRODUCT ranks lists by centroid IP descending
-        key = -(Q @ C.T)
+        key = -G
     else:
-        key = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        key = (Q32 * Q32).sum(1)[:, None] - 2.0 * G + (C32 * C32).sum(1)[None, :]
     nlist = key.shape[1]
     kk = min(nprobe, nlist)
-    if kk < nlist:
-        rank = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-    else:
-        rank = np.tile(np.arange(nlist), (len(Q), 1))
+    rank = _rank_smallest(key, kk)
     flat_cids = cids[rank.ravel()].astype(np.int64)
     qpos = np.repeat(np.arange(len(Q), dtype=np.int64), kk)
     order = np.argsort(flat_cids, kind="stable")  # keeps qpos ascending per list
@@ -335,6 +426,15 @@ def _ivfsq_score_chunk_direct(
         (qids_np, Q.astype(np.float32), probe_map)
     )
 
+    # Hot-list query slicing: under IP centroid ranking the probe
+    # distribution is EXTREMELY skewed (measured at the 10M point:
+    # 2 of 3200 lists absorb ~94% of all probes — high-norm centroids
+    # attract almost every query), so a task-per-file layout serializes
+    # the whole job behind one (nq_hot × list) GEMM.  Emit one task per
+    # (file, query-slice) with ≤ _QSLICE probing queries per slice —
+    # the slice re-reads a page-cache-resident file (cheap) and scores
+    # a disjoint strided subset of its queries, so the per-task partial
+    # top-k merge semantics are unchanged.
     files = []
     for cid in sorted(probe_map):
         hits = sorted(_glob.glob(f"{entries_dir}/centroid_id={cid}/*.parquet"))
@@ -342,7 +442,8 @@ def _ivfsq_score_chunk_direct(
             raise FileNotFoundError(
                 f"no parquet for probed list {cid} under {entries_dir}"
             )
-        files.extend((p, cid) for p in hits)
+        nsl = max(1, -(-len(probe_map[cid]) // _QSLICE))
+        files.extend((p, cid, s, nsl) for p in hits for s in range(nsl))
     # max(1, ...): an empty probe map (possible only with 0 queries, which
     # union_query_chunks_df already short-circuits, but keep the guard —
     # parallelize(.., 0) is an error, not an empty result).  parallelize
@@ -355,7 +456,8 @@ def _ivfsq_score_chunk_direct(
     # absorb it, bounding the tail at one small task
     par = max(1, min(len(files), 4 * spark.sparkContext.defaultParallelism))
     fdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(files, par), "path STRING, cid INT"
+        spark.sparkContext.parallelize(files, par),
+        "path STRING, cid INT, sl INT, nsl INT",
     )
 
     def serve(it):
@@ -368,10 +470,16 @@ def _ivfsq_score_chunk_direct(
         for batch in it:
             paths = batch.column("path").to_pylist()
             task_cids = batch.column("cid").to_pylist()
-            for path, cid in zip(paths, task_cids):
+            sls = batch.column("sl").to_pylist()
+            nsls = batch.column("nsl").to_pylist()
+            for path, cid, sl, nsl in zip(paths, task_cids, sls, nsls):
                 pos = groups.get(int(cid))
                 if pos is None:
                     continue
+                if nsl > 1:
+                    pos = pos[sl::nsl]  # disjoint strided query slice
+                    if len(pos) == 0:
+                        continue
                 tbl = pq.read_table(path, columns=["id", "codes"])
                 n = tbl.num_rows
                 if n == 0:
@@ -479,11 +587,37 @@ def ivfsq_search(
     )
     adist_first = F.col("adist").desc() if metric == "ip" else F.col("adist").asc()
     if exact_codes:
-        return per_group_topk(
-            scored, ["qid"], [adist_first, F.col("id").asc()], k
-        ).select(
-            "qid", "id", F.col("adist").alias("dist"), "rank"
+        # Single-stage final merge (VERDICT r6 #1): the scan already cut
+        # each task's output to top-`refine` per query (task_topk_merge),
+        # so what reaches the driver is ≤ nq × refine × (tasks touching
+        # that query's probed lists ≤ nprobe) rows — a few MB at serving
+        # batch sizes.  One Arrow collect + a vectorized lexsort replace
+        # the per_group_topk shuffle + window job, removing the serving
+        # pipeline's second Spark job per batch (its fixed cost was the
+        # QPS floor, not the scanned work).  Ordering/ties are identical
+        # to per_group_topk: (adist best-first, id asc), rank 1..k.
+        import pandas as pd
+
+        tbl = scored.toArrow()
+        qids = tbl.column("qid").to_numpy(zero_copy_only=False)
+        ids = tbl.column("id").to_numpy(zero_copy_only=False)
+        ad = tbl.column("adist").to_numpy(zero_copy_only=False)
+        key = -ad if metric == "ip" else ad
+        order = np.lexsort((ids, key, qids))
+        aq, ai, av = qids[order], ids[order], ad[order]
+        starts = np.flatnonzero(np.r_[True, aq[1:] != aq[:-1]])
+        counts = np.diff(np.r_[starts, len(aq)])
+        rank = np.arange(len(aq)) - np.repeat(starts, counts) + 1
+        keep = rank <= k
+        out = pd.DataFrame(
+            {
+                "qid": aq[keep],
+                "id": ai[keep],
+                "dist": av[keep],
+                "rank": rank[keep].astype(np.int32),
+            }
         )
+        return spark.createDataFrame(out, schema="qid long, id long, dist double, rank int")
     cut = per_group_topk(
         scored, ["qid"], [adist_first, F.col("id").asc()], rf
     ).select("qid", "id")

@@ -98,16 +98,52 @@ def train_sq(
         and bool(stats["allint"].all())
         and float((vmax - vmin).max(initial=0.0)) <= 255.0
     ):
+        if vmin.min(initial=0.0) >= -255.0 and vmax.max(initial=0.0) <= 255.0:
+            # servable regime (|x| ≤ 255): anchor the grid at ≤ 0 so the
+            # DECODABLE set [lo, lo+255] ⊆ [−255, 255] — the certificate
+            # is_lossless_grid checks is then provable from the grid
+            # alone (feasible here: range ≤ 255 and vmax ≤ 255 make
+            # lo = min(vmin, 0) cover every observed value)
+            vmin = np.minimum(vmin, 0.0)
         vmax = vmin + 255.0
+    elif len(stats) and np.array_equal(vmin, np.rint(vmin)) and np.all(
+        vmax - vmin == 255.0
+    ):
+        # Coincidence-proof the lossless certificate (ADVICE r6): a
+        # NON-integer corpus whose per-dim extrema happen to be integers
+        # exactly 255 apart would otherwise produce the exact shape the
+        # snap emits, and is_lossless_grid would wrongly certify its
+        # lossy codes as exact.  Widen vmax by one ulp so the snapped
+        # shape can only ever come from the snap itself (codec impact:
+        # scale grows from 1 to 1+ε — immaterial for a lossy grid).
+        vmax = np.nextafter(vmax, np.inf)
     return vmin, vmax
 
 
 def is_lossless_grid(vmin: np.ndarray, vmax: np.ndarray) -> bool:
-    """True iff the affine grid decodes integer corpora exactly:
-    integral vmin and scale exactly 1 on every dimension (the
-    snap_integer outcome)."""
+    """True iff serving straight from the codes is EXACT (the
+    ivfsq_search(exact_codes=True) gate): the grid decodes the corpus
+    losslessly AND the decoded values stay inside the f32-exact scoring
+    regime.  Three conditions (ADVICE r6 strengthening):
+
+    - integral vmin with scale exactly 1 (vmax == vmin + 255) on every
+      dimension — the snap_integer outcome, which train_sq now emits
+      ONLY after observing an all-integer corpus (a coincidental float
+      shape is ulp-widened there), so this shape is a sound certificate
+      of lossless codes;
+    - vmin ≥ −255 and vmin + 255 ≤ 255 (i.e. −255 ≤ vmin ≤ 0) — every
+      decodable value then has |x̂| ≤ 255, matching the query-side
+      bound (_assert_integer_queries), so all f32 products (≤ 255²) and
+      d ≤ 192 partial sums (< 2²⁴) are exactly representable.  An
+      integer corpus of larger magnitude (e.g. values in [1000, 1255])
+      decodes losslessly but its 'exact' f32 scores would silently
+      round — refused here."""
     return bool(
-        np.array_equal(vmin, np.rint(vmin)) and np.all(vmax - vmin == 255.0)
+        len(vmin)
+        and np.array_equal(vmin, np.rint(vmin))
+        and np.all(vmax - vmin == 255.0)
+        and vmin.min() >= -255.0
+        and vmin.max() <= 0.0
     )
 
 

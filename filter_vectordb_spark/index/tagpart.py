@@ -16,11 +16,68 @@ base data itself.
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from filter_vectordb_spark.operators.postings import explode_tags, tag_stats
 from filter_vectordb_spark.operators.topk import per_group_topk
+
+
+def _train_codec(base: DataFrame):
+    """(vmin, vmax) when the corpus admits LOSSLESS SQ8 codes (integer
+    values, range ≤ 255, |x| ≤ 255 — the yfcc 192-d uint8 regime), else
+    None.  A lossless view stores 1-byte codes instead of float arrays:
+    4-8× less I/O on the only corpus-touching stage of every routed
+    query, with bit-identical results (VERDICT r6 #5)."""
+    from filter_vectordb_spark.index.sq import is_lossless_grid, train_sq
+
+    vmin, vmax = train_sq(base.select("emb"))
+    return (vmin, vmax) if is_lossless_grid(vmin, vmax) else None
+
+
+def view_is_built(out_dir: str) -> bool:
+    """True when either layout of a tag/pair view is present: legacy
+    float (`out_dir/_SUCCESS`) or SQ8-coded (`view/` + `grid/`)."""
+    return os.path.exists(f"{out_dir}/_SUCCESS") or (
+        os.path.exists(f"{out_dir}/view/_SUCCESS")
+        and os.path.exists(f"{out_dir}/grid/_SUCCESS")
+    )
+
+
+def _load_view(spark: SparkSession, out_dir: str):
+    """(view_df, decode_offset | None): coded views decode as
+    x = codes + (vmin + 128) (scale is exactly 1 on a lossless grid).
+    Layout detection is a local-path existence check — the same
+    shared-filesystem contract as the direct-read serving path."""
+    from filter_vectordb_spark.index.sq import read_grid
+
+    if os.path.exists(f"{out_dir}/grid/_SUCCESS"):
+        vmin, _vmax = read_grid(spark, f"{out_dir}/grid")
+        return spark.read.parquet(f"{out_dir}/view"), vmin + 128.0
+    return spark.read.parquet(out_dir), None
+
+
+def _group_matrix(X_all: np.ndarray, grp: np.ndarray, off: np.ndarray | None,
+                  f32_ok: bool) -> np.ndarray:
+    """One tag/pair group's score matrix: float path passes the float64
+    embeddings through; coded path decodes int8 codes to the original
+    integer values (lossless grid ⇒ exact).  f32_ok keeps the decoded
+    matrix in float32 for the 30× GEMM when the QUERY side also
+    satisfies the integer-exactness precondition (knn_join contract)."""
+    if off is None:
+        return np.ascontiguousarray(X_all[grp]).astype(np.float64)
+    X = np.ascontiguousarray(X_all[grp]).astype(np.float32) + off.astype(np.float32)
+    return X if f32_ok else X.astype(np.float64)
+
+
+def _f32_exact_ok(Q: np.ndarray) -> bool:
+    """Query-side f32 exactness precondition (see knn_join)."""
+    return Q.shape[1] <= 192 and bool(
+        np.abs(Q).max(initial=0.0) <= 255 and np.array_equal(Q, np.rint(Q))
+    )
 
 
 def _frequent_tag_view(base: DataFrame, min_freq: float) -> DataFrame:
@@ -47,12 +104,36 @@ def build_tag_partitions(
 ) -> list[int]:
     """Materialize the frequent-tag view, written `partitionBy("tag")`.
     Returns the built tag ids (the reference's 0.003 threshold:
-    `filter/faiss/faiss.py:268`)."""
+    `filter/faiss/faiss.py:268`).
+
+    When the corpus admits lossless SQ8 codes the view stores 1-byte
+    codes + the grid instead of float arrays (`view/` + `grid/` layout,
+    the faiss SQ8 storage the reference's filter track actually serves
+    from); float corpora keep the legacy float layout (same path, same
+    results, 4-8× more scan I/O)."""
+    codec = _train_codec(base)
     view = _frequent_tag_view(base, min_freq)
-    # see build_tag_pair_partitions: one shuffle partition per tag keeps
-    # the partitioned layout at one file per tag instead of tags × tasks
-    view.repartition("tag").write.mode("overwrite").partitionBy("tag").parquet(out_dir)
-    return sorted(r["tag"] for r in view.select("tag").distinct().collect())
+    if codec is not None:
+        from filter_vectordb_spark.index.sq import encode_sq, write_grid
+
+        vmin, vmax = codec
+        codes = encode_sq(base.select("id", "emb"), vmin, vmax)
+        cview = (
+            view.select("tag", "id").join(codes, "id").select("tag", "id", "codes")
+        )
+        # see build_tag_pair_partitions: one shuffle partition per tag
+        # keeps the layout at one file per tag instead of tags × tasks
+        cview.repartition("tag").write.mode("overwrite").partitionBy("tag").parquet(
+            f"{out_dir}/view"
+        )
+        write_grid(base.sparkSession, vmin, vmax, f"{out_dir}/grid")
+        tag_src = cview
+    else:
+        view.repartition("tag").write.mode("overwrite").partitionBy("tag").parquet(
+            out_dir
+        )
+        tag_src = view
+    return sorted(r["tag"] for r in tag_src.select("tag").distinct().collect())
 
 
 def build_tag_pair_partitions(
@@ -91,10 +172,19 @@ def build_tag_pair_partitions(
         .filter(F.col("ndoc") >= min_freq * n)
         .select("tag_a", "tag_b", "ndoc")
     )
+    codec = _train_codec(base)  # lossless SQ8 → 1-byte codes in the view
+    if codec is not None:
+        from filter_vectordb_spark.index.sq import encode_sq
+
+        payload = encode_sq(base.select("id", "emb"), *codec)
+        vec_col = "codes"
+    else:
+        payload = base.select("id", "emb")
+        vec_col = "emb"
     view = (
         pairs.join(F.broadcast(freq), ["tag_a", "tag_b"])
-        .join(base.select("id", "emb"), "id")
-        .select("tag_a", "tag_b", "id", "emb", "ndoc")
+        .join(payload, "id")
+        .select("tag_a", "tag_b", "id", vec_col, "ndoc")
     )
     # one shuffle partition per (pair, salt) before the partitioned
     # write: without the pair grouping every writer task emits a sliver
@@ -118,6 +208,7 @@ def build_tag_pair_partitions(
         ).first()["s"]
         or 1
     )
+    dest = out_dir if codec is None else f"{out_dir}/view"
     (
         salted.repartition(
             n_write_tasks, F.col("tag_a"), F.col("tag_b"), F.col("_salt")
@@ -125,12 +216,17 @@ def build_tag_pair_partitions(
         .drop("_salt", "ndoc")
         .write.mode("overwrite")
         .partitionBy("tag_a", "tag_b")
-        .parquet(out_dir)
+        .parquet(dest)
     )
+    if codec is not None:
+        from filter_vectordb_spark.index.sq import write_grid
+
+        write_grid(base.sparkSession, *codec, f"{out_dir}/grid")
 
 
 def _score_pair_chunk(
-    spark: SparkSession, part: DataFrame, qpdf, k: int
+    spark: SparkSession, part: DataFrame, qpdf, k: int,
+    off: np.ndarray | None = None,
 ) -> DataFrame:
     """One ≤cap chunk of routed queries: broadcast the per-pair query
     matrices, prune the pair view to the chunk's pairs (broadcast join on
@@ -139,16 +235,23 @@ def _score_pair_chunk(
     row instead would ship nq × |pair| duplicate query vectors through
     Arrow (2 GB at the 100k benchmark); broadcasting the grouped query
     matrices ships each once.  Per batch and pair: X @ Q_pair.T, partial
-    top-k per query — the W3 two-phase shape."""
-    import numpy as np
+    top-k per query — the W3 two-phase shape.
 
+    off set (SQ8-coded view): the scan reads 1-byte codes and decodes
+    x = code + off in-kernel — exact (lossless grid), 4-8× less I/O;
+    integer queries additionally take the f32 GEMM (exact per the
+    knn_join contract)."""
     by_pair: dict = {}
     for pair, grp in qpdf.groupby(["tag_a", "tag_b"]):
         by_pair[(int(pair[0]), int(pair[1]))] = (
             grp["qid"].to_numpy(dtype=np.int64),
             np.stack(grp["qemb"].to_numpy()).astype(np.float64),
         )
-    bc = spark.sparkContext.broadcast(by_pair)
+    use_f32 = off is not None and _f32_exact_ok(
+        np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    )
+    vec_col = "emb" if off is None else "codes"
+    bc = spark.sparkContext.broadcast((by_pair, off, use_f32))
 
     def score(it):
         from filter_vectordb_spark.operators.knn import (
@@ -157,7 +260,7 @@ def _score_pair_chunk(
             task_topk_merge,
         )
 
-        groups = bc.value
+        groups, boff, bf32 = bc.value
         # accumulate per-pair partials; ONE per-task top-k per query at
         # iterator end (task_topk_merge) — nq×k rows per task into the
         # merge shuffle however many pairs the task scored
@@ -167,7 +270,7 @@ def _score_pair_chunk(
             if nb == 0:
                 continue
             all_ids = batch.column("id").to_numpy(zero_copy_only=False)
-            X_all = flatten_fixed_list(batch.column("emb"), nb)
+            X_all = flatten_fixed_list(batch.column(vec_col), nb)
             ta = batch.column("tag_a").to_numpy(zero_copy_only=False)
             tb = batch.column("tag_b").to_numpy(zero_copy_only=False)
             # pair-contiguous by the partitionBy layout; stable argsort
@@ -189,10 +292,12 @@ def _score_pair_chunk(
                 if qg is None:
                     continue
                 qids, Q = qg
-                X = np.ascontiguousarray(X_all[grp]).astype(np.float64)
+                X = _group_matrix(X_all, grp, boff, bf32)
+                Qc = Q.astype(np.float32) if X.dtype == np.float32 else Q
                 qn = (Q * Q).sum(axis=1)
-                xn = (X * X).sum(axis=1)
-                part_idx, dist = gemm_topk(Q, qn, X, xn, "l2", k)
+                Xf = X.astype(np.float64) if X.dtype == np.float32 else X
+                xn = (Xf * Xf).sum(axis=1)
+                part_idx, dist = gemm_topk(Qc, qn, X, xn, "l2", k)
                 out_q.append(np.repeat(qids, part_idx.shape[1]))
                 out_i.append(all_ids[grp][part_idx].ravel())
                 out_d.append(dist.ravel())
@@ -211,7 +316,7 @@ def _score_pair_chunk(
         "tag_a INT, tag_b INT",
     )
     pruned = part.join(F.broadcast(hit_pairs), ["tag_a", "tag_b"])
-    return pruned.select("tag_a", "tag_b", "id", "emb").mapInArrow(
+    return pruned.select("tag_a", "tag_b", "id", vec_col).mapInArrow(
         score, schema="qid long, id long, dist double"
     )
 
@@ -241,7 +346,7 @@ def tag_pair_knn(
     from filter_vectordb_spark.operators.filtered_knn import filtered_knn_scan
     from filter_vectordb_spark.operators.knn import union_query_chunks_df
 
-    part = spark.read.parquet(out_dir)
+    part, off = _load_view(spark, out_dir)
     # bounded by the build threshold (≥ min_freq·n co-occurrence ⇒ at
     # most ~1/min_freq · pairs-per-doc entries) — broadcast-material
     avail = part.select("tag_a", "tag_b").distinct()
@@ -249,7 +354,7 @@ def tag_pair_knn(
     hit_q = q.join(F.broadcast(avail), ["tag_a", "tag_b"], "left_semi")
     scored = union_query_chunks_df(
         hit_q,
-        lambda ch: _score_pair_chunk(spark, part, ch, k),
+        lambda ch: _score_pair_chunk(spark, part, ch, k, off),
         "qid LONG, id LONG, dist DOUBLE",
     )
     hits = per_group_topk(
@@ -274,7 +379,8 @@ def tag_pair_knn(
 
 
 def _score_tag_chunk(
-    spark: SparkSession, part: DataFrame, qpdf, k: int
+    spark: SparkSession, part: DataFrame, qpdf, k: int,
+    off: np.ndarray | None = None,
 ) -> DataFrame:
     """Single-tag half of _score_pair_chunk: broadcast the per-tag query
     matrices, prune the view to the chunk's tags (broadcast join on the
@@ -282,16 +388,19 @@ def _score_tag_chunk(
     tag's rows against its probing queries with one BLAS block — the
     tag-equality join + interpreted l2_sq lambda this replaces duplicated
     every partition row per probing query AND scored outside codegen
-    (VERDICT r5 #2; measured 14 vs 194 QPS on the 100k curve)."""
-    import numpy as np
-
+    (VERDICT r5 #2; measured 14 vs 194 QPS on the 100k curve).  `off`:
+    see _score_pair_chunk (SQ8-coded view decode)."""
     by_tag: dict = {}
     for tag, grp in qpdf.groupby("tag"):
         by_tag[int(tag)] = (
             grp["qid"].to_numpy(dtype=np.int64),
             np.stack(grp["qemb"].to_numpy()).astype(np.float64),
         )
-    bc = spark.sparkContext.broadcast(by_tag)
+    use_f32 = off is not None and _f32_exact_ok(
+        np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    )
+    vec_col = "emb" if off is None else "codes"
+    bc = spark.sparkContext.broadcast((by_tag, off, use_f32))
 
     def score(it):
         from filter_vectordb_spark.operators.knn import (
@@ -300,14 +409,14 @@ def _score_tag_chunk(
             task_topk_merge,
         )
 
-        groups = bc.value
+        groups, boff, bf32 = bc.value
         out_q, out_i, out_d = [], [], []
         for batch in it:
             nb = batch.num_rows
             if nb == 0:
                 continue
             all_ids = batch.column("id").to_numpy(zero_copy_only=False)
-            X_all = flatten_fixed_list(batch.column("emb"), nb)
+            X_all = flatten_fixed_list(batch.column(vec_col), nb)
             tags = batch.column("tag").to_numpy(zero_copy_only=False)
             order = np.argsort(tags, kind="stable")
             bounds = np.flatnonzero(np.diff(tags[order])) + 1
@@ -316,10 +425,12 @@ def _score_tag_chunk(
                 if qg is None:
                     continue
                 qids, Q = qg
-                X = np.ascontiguousarray(X_all[grp]).astype(np.float64)
+                X = _group_matrix(X_all, grp, boff, bf32)
+                Qc = Q.astype(np.float32) if X.dtype == np.float32 else Q
                 qn = (Q * Q).sum(axis=1)
-                xn = (X * X).sum(axis=1)
-                part_idx, dist = gemm_topk(Q, qn, X, xn, "l2", k)
+                Xf = X.astype(np.float64) if X.dtype == np.float32 else X
+                xn = (Xf * Xf).sum(axis=1)
+                part_idx, dist = gemm_topk(Qc, qn, X, xn, "l2", k)
                 out_q.append(np.repeat(qids, part_idx.shape[1]))
                 out_i.append(all_ids[grp][part_idx].ravel())
                 out_d.append(dist.ravel())
@@ -336,7 +447,7 @@ def _score_tag_chunk(
         sorted({(int(t),) for t in qpdf["tag"]}) or [(-1,)], "tag INT"
     )
     pruned = part.join(F.broadcast(hit_tags), "tag")
-    return pruned.select("tag", "id", "emb").mapInArrow(
+    return pruned.select("tag", "id", vec_col).mapInArrow(
         score, schema="qid long, id long, dist double"
     )
 
@@ -357,11 +468,11 @@ def tag_partition_knn(
     """
     from filter_vectordb_spark.operators.knn import union_query_chunks_df
 
-    part = spark.read.parquet(out_dir)
+    part, off = _load_view(spark, out_dir)
     q = queries.select("qid", "qemb", F.col("qtag").alias("tag"))
     scored = union_query_chunks_df(
         q,
-        lambda ch: _score_tag_chunk(spark, part, ch, k),
+        lambda ch: _score_tag_chunk(spark, part, ch, k, off),
         "qid LONG, id LONG, dist DOUBLE",
     )
     return per_group_topk(

@@ -401,16 +401,25 @@ def embedding_near_dup(
     import numpy as np
     import pandas as pd
 
-    from filter_vectordb_spark.operators.knn import MAX_BROADCAST_QUERIES
+    import filter_vectordb_spark.operators.knn as _knn
 
-    # Route on a LIMIT cap+1 count, not a full-corpus count(): the scan
+    # Route on a LIMIT cap+1 probe, not a full-corpus count(): the scan
     # stops as soon as cap+1 rows are seen, so choosing the path costs one
-    # truncated job instead of a full corpus pass at scale.
-    over_cap = (
-        emb.select(F.lit(1)).limit(MAX_BROADCAST_QUERIES + 1).count()
-        > MAX_BROADCAST_QUERIES
+    # truncated job instead of a full corpus pass at scale.  The probe
+    # also reads the vector dimension so the cap is BYTE-aware (VERDICT
+    # r6 #3): rows × d × 8 must fit the broadcast budget — a 1M × 1536-d
+    # corpus routes to the bucketed path instead of shipping ~12 GB.
+    probe = (
+        emb.select(F.size(F.col(vec_col)).alias("d"))
+        .limit(_knn.MAX_BROADCAST_QUERIES + 1)
+        .agg(F.count("*").alias("n"), F.first("d").alias("d"))
+        .first()
     )
-    if over_cap:
+    cap = min(
+        _knn.MAX_BROADCAST_QUERIES,
+        max(1, _knn.BROADCAST_BYTES_BUDGET // (8 * max(1, probe["d"] or 1))),
+    )
+    if probe["n"] > cap:
         # beyond the broadcast cap: bucket-then-verify scale path
         # (approximate candidate recall, exact precision — see its doc)
         return embedding_near_dup_bucketed(emb, tau, id_col, vec_col)

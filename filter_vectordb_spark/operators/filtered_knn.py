@@ -232,6 +232,37 @@ def filtered_knn_sig_expr(
     ).select("qid", "id", "dist", "rank")
 
 
+#: (stats DataFrame identity) → (strong ref, {tag: ndoc}) — serving
+#: engines pass the SAME fitted stats table per batch (the reference
+#: computes routing stats once at fit(), `filter/faiss/faiss.py:238-239`);
+#: identity-keying makes repeat batches pay the tiny collect once.
+_STATS_CACHE: dict = {}
+
+
+def _routing_ndoc(stats: DataFrame | None, base: DataFrame) -> dict[int, int]:
+    """Driver-side {tag → ndoc} routing table (A1).  Bounded by the tag
+    vocabulary (the reference's is ~200k tags — a few MB), not the
+    corpus; derived from `base` with one aggregation when no fitted
+    stats are supplied."""
+    if stats is None:
+        pdf = (
+            explode_tags(base)
+            .groupBy("tag")
+            .agg(F.count("*").alias("ndoc"))
+            .toPandas()
+        )
+        return dict(zip(pdf["tag"].astype(int), pdf["ndoc"].astype(int)))
+    key = id(stats)
+    hit = _STATS_CACHE.get(key)
+    if hit is None or hit[0] is not stats:
+        pdf = stats.toPandas()
+        if len(_STATS_CACHE) >= 8:
+            _STATS_CACHE.clear()
+        hit = (stats, dict(zip(pdf["tag"].astype(int), pdf["ndoc"].astype(int))))
+        _STATS_CACHE[key] = hit
+    return hit[1]
+
+
 def filtered_knn(
     queries: DataFrame,
     base: DataFrame,
@@ -249,14 +280,72 @@ def filtered_knn(
     the reference computes them once at fit() time
     (`filter/faiss/faiss.py:238-239`), so callers serving repeated query
     batches should pass a precomputed/saved stats table — otherwise they
-    are derived from `base` here (one extra shuffle per invocation).
-    """
-    # Per-tag doc counts (A1); estimate per query = min over its tags
-    # (upper bound on the conjunction size — reference uses min freq,
-    # `filter/faiss/faiss.py:381-385`).  The routing decision stays a
-    # DataFrame: a broadcast-joined boolean flag per qid, never a
-    # collected id list — at 100k queries a literal IN-list would bloat
-    # the plan; a broadcast hash join does not.
+    are derived from `base` here (one extra job per invocation).
+
+    Routing shape (VERDICT r6 #6): the query batch is collected ONCE
+    (the scan kernels broadcast it anyway) and the per-query estimate —
+    min over its tags of ndoc, the reference's min-frequency upper bound
+    (`filter/faiss/faiss.py:381-385`) — is a driver-side dict lookup, so
+    the whole split costs one query-side job instead of the previous
+    est-join + two isEmpty() probe jobs per batch.  An un-taken branch
+    is still skipped entirely (its plan would scan the corpus for
+    nothing at 100 TB).  Query sets above the broadcast row cap fall
+    back to the DataFrame-routed plan, which chunk-and-unions."""
+    import filter_vectordb_spark.operators.knn as _knn
+    from filter_vectordb_spark.operators.knn import pandas_query_chunks
+
+    spark = queries.sparkSession
+    qcols = queries.select("qid", "qemb", "qtags")
+    head = qcols.limit(_knn.MAX_BROADCAST_QUERIES).toPandas()
+    if len(head) >= _knn.MAX_BROADCAST_QUERIES:
+        return _filtered_knn_df_routed(
+            queries, base, k, mt_threshold, n_base, stats
+        )
+    if len(head) == 0:
+        return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE, rank INT")
+    ndoc = _routing_ndoc(stats, base)
+    nb = n_base if n_base is not None else base.count()
+    thr = mt_threshold * nb
+    est = np.array(
+        [
+            min((ndoc.get(int(t), 0) for t in tags), default=nb)
+            for tags in head["qtags"]
+        ],
+        dtype=np.int64,
+    )  # no tags → matches everything → scan branch (default=nb ≥ thr)
+    sel_mask = est < thr
+    sel_pdf = head[sel_mask]
+    scan_pdf = head[~sel_mask].reset_index(drop=True)
+    parts = []
+    if len(sel_pdf):
+        sel_q = spark.createDataFrame(sel_pdf, schema=qcols.schema)
+        parts.append(filtered_knn_metadata_first(sel_q, base, k))
+    if len(scan_pdf):
+        scored = pandas_query_chunks(
+            scan_pdf, lambda ch: _filtered_scan_chunk(ch, base, k)
+        )
+        parts.append(
+            per_group_topk(
+                scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+            ).select("qid", "id", "dist", "rank")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _filtered_knn_df_routed(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    mt_threshold: float,
+    n_base: int | None,
+    stats: DataFrame | None,
+) -> DataFrame:
+    """DataFrame-routed fallback for query sets above the broadcast row
+    cap: the routing decision stays a broadcast-joined boolean flag per
+    qid (never a collected id list), each branch chunk-and-unions."""
     if stats is None:
         stats = (
             explode_tags(base)

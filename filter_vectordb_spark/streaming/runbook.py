@@ -219,10 +219,21 @@ class StreamingReplayer:
             raise RuntimeError("setup/insert before search")
         return self.state.filter(~F.col("deleted")).select("id", "emb")
 
-    def search(self, queries: DataFrame, k: int, strategy: str = "vectorized") -> DataFrame:
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        strategy: str = "vectorized",
+        compute_dtype: str = "float64",
+    ) -> DataFrame:
         """Exact k-NN against the current snapshot (the reference measures
-        recall of its approximate index against exactly this)."""
-        return knn_join(queries, self.active(), k, strategy=strategy)
+        recall of its approximate index against exactly this).
+        compute_dtype="float32" stays exact on integer-valued corpora
+        (knn_join contract) — the msturing-1M-shaped replay uses it."""
+        return knn_join(
+            queries, self.active(), k, strategy=strategy,
+            compute_dtype=compute_dtype,
+        )
 
     def range_query(self, queries: DataFrame, radius: float) -> DataFrame:
         """ST6: all ids within squared-L2 radius (`streaming/run.py:49-51`)."""
@@ -244,6 +255,7 @@ def replay(
     runbook: Runbook,
     queries: DataFrame,
     k: int = 10,
+    compute_dtype: str = "float64",
 ) -> DataFrame:
     """Replay a runbook, returning stacked search-checkpoint results
     (checkpoint INT, qid, rank, id) — the reference records results at
@@ -265,7 +277,7 @@ def replay(
             rp.delete_range(step.start, step.end)
         elif step.operation == "search":
             checkpoint += 1
-            res = rp.search(queries, k).select(
+            res = rp.search(queries, k, compute_dtype=compute_dtype).select(
                 F.lit(checkpoint).alias("checkpoint"), "qid", "rank", "id"
             )
             results.append(res)

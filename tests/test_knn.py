@@ -84,6 +84,22 @@ def test_filtered_scan_chunks_above_broadcast_cap(spark, base, queries, monkeypa
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_byte_budget_chunks_high_dim_queries(spark, base, queries, monkeypatch):
+    """VERDICT r6 #3: the broadcast cap is byte-aware — a query set whose
+    rows × d × 8 exceeds BROADCAST_BYTES_BUDGET must chunk-and-union even
+    below the row cap, with results identical to the single-shot run.
+    The fixture queries are 16-d float64 ≈ 136 B/row; a 500-byte budget
+    forces ~3-row chunks while MAX_BROADCAST_QUERIES stays at 1M."""
+    from filter_vectordb_spark.operators import knn as knn_mod
+
+    want = knn_join(queries, base, K, strategy="vectorized").select(
+        "qid", "rank", "id"
+    )
+    monkeypatch.setattr(knn_mod, "BROADCAST_BYTES_BUDGET", 500)
+    got = knn_join(queries, base, K, strategy="vectorized").select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_float32_compute_exact_on_integer_vectors(spark):
     """compute_dtype="float32" must be bit-exact on integer-valued uint8
     vectors (products ≤ 65025, partial sums < 2²⁴ — every intermediate is
