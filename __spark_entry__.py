@@ -30,66 +30,69 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # new this round (r6): the 1M serving path's first HASH-CHECKED row
-    # (VERDICT r5 #4) and the 4M OOD set — exact anchor, two recall-gated
-    # IVF+SQ8 operating points, the measured recall/QPS grid (r5 #3)
-    "knn_ip_1m_nq8",
-    "media_decode_stats",
-    "knn_ip_4m",
-    "knn_ip_4m_ivfsq",
-    "knn_ip_4m_ivfsq_lo",
-    "ood_recall_curve_4m",
-    # r5-invisible (no CORRECTNESS_r05 row — rotated back per the
-    # standing contract, VERDICT r5 #7)
-    "filtered_knn_meta",
-    "filtered_knn_scan",
-    "sparse_mips",
-    "events_hourly",
-    "events_hourly_stream",
-    "events_asof_join",
-    "streaming_replay",
-    "streaming_clustered_replay",
-    "streaming_delete_replay",
-    "ivf_full_probe",
-    "pq_adc_knn",
-    "ivf_incremental_search",
-    "ivfpq_knn",
-    "text_repetition",
-    "corpus_mix_allocation",
-    "pii_scrub",
-    "signup_click_conversion",
-    "dedup_jaccard_pairs",
-    "dedup_minhash",
-    "dedup_minhash_clusters",
-    "dedup_simhash",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "media_features",
-    "media_frame_sample",
-    "uint8_knn",
-    "binfmt_roundtrip",
-    "binfmt_fetch_roundtrip",
-    "range_search_uint8",
-    "tag_pair_doc_freq",
-    "dedup_filtered_corpus",
-    "knn_l2_batch",
-    "q4_order_priority",
-    "customer_running_total",
-    "sparse_csr_roundtrip",
-    # changed this round (query-side streaming on every scan family,
-    # fused candidate scorers, vectorized F3, tag-pair miss-branch fuse,
-    # f32 precondition asserts) — must re-green
-    "filtered_knn_router",
-    "filtered_knn_100k_nq32",
-    "filtered_knn_100k",
+    # new this round (r7): the 10M OOD set at BASELINE row 3's own scale
+    # (VERDICT r6 #1 — exact anchor, two recall-gated IVF+SQ8 serving
+    # points with the single-stage driver merge + hot-list query
+    # slicing, the measured recall/QPS grid) and the msturing-1M-shaped
+    # streaming replay (VERDICT r6 #4)
+    "knn_ip_10m",
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
+    "ood_recall_curve_10m",
+    "streaming_replay_1m",
+    # changed this round — must re-green: SQ8-coded tag views (r6 #5),
+    # driver-side routing split (r6 #6), Arrow above-cap chunking +
+    # byte-aware broadcast cap (r6 #2/#3), strengthened exact_codes
+    # gate (ADVICE r6)
     "tag_partition_knn",
     "tag_pair_partition_knn",
+    "filtered_knn_100k_nq32",
+    "filtered_knn_100k",
+    "filtered_knn_router",
+    "knn_ip_1m_nq8",
+    "knn_ip_1m_ivfsq",
     "sq_knn",
     "ivfsq_knn",
-    "knn_ip_1m_ivfsq",
-    "filtered_knn_sig",
-    # every other query was driver-green in r5 (CORRECTNESS_r05) and
-    # stays registered + pytest-checked; it re-enters the sample in r7.
+    # r6-invisible (no CORRECTNESS_r06 row — rotated back per the
+    # standing contract, VERDICT r6 #7)
+    "knn_l2",
+    "knn_ip",
+    "knn_cosine",
+    "tag_doc_freq",
+    "posting_intersection",
+    "posting_union",
+    "knn_result_matrix",
+    "recall_at_k",
+    "results_sink_roundtrip",
+    "tag_signatures",
+    "vector_norms",
+    "hybrid_rrf_search",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast",
+    "events_sessionize",
+    "doc_fingerprint",
+    "token_stats",
+    "text_quality",
+    "eval_contamination",
+    "dedup_substring_windows",
+    "dedup_substring_windows_hashed",
+    "token_stats_bpe",
+    "lang_id_ngram",
+    "dedup_exact",
+    "streaming_dedup",
+    "corpus_split",
+    "corpus_token_quantiles",
+    "corpus_stratified_sample",
+    "lsh_cosine_knn",
+    "knn_ip_100k",
+    "knn_ip_1m",
+    "sparse_mips_100k",
+    "recall_qps_curve",
+    "recall_qps_curve_100k",
+    # every other query was driver-green in r6 (CORRECTNESS_r06) and
+    # stays registered + pytest-checked; it re-enters the sample in r8.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

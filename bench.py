@@ -35,9 +35,12 @@ ALWAYS_RERUN = {
     "sparse_mips_100k",
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
-    "knn_ip_4m",
-    "knn_ip_4m_ivfsq",
-    "knn_ip_4m_ivfsq_lo",
+    # the 10M anchor (knn_ip_10m) is deliberately NOT here: one run is
+    # ~60 s of pure BLAS (7.9 Tflop), so min-of-3 would triple the bench
+    # wall for a number whose noise floor the 1M anchor already records;
+    # RERUN_BELOW_SEC keeps it single-run
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
     # multi-job replay: the only non-scale query whose +0.7s r5 wobble
     # had no runs array to prove it was host noise (VERDICT r5 #8)
     "streaming_replay",
@@ -109,16 +112,21 @@ BENCH_QUERIES = [
     # per-run times recorded (see "runs" in the output)
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
-    # the 4M OOD set (VERDICT r5 #3): exact anchor vs two recall-gated
-    # IVF+SQ8 operating points (nprobe 16 = recall 1.0000 measured,
-    # nprobe 10 = smallest clearing the 0.9 gate at 0.9641) — all three
-    # min-of-3 with per-run times.  The recall/QPS grid itself
-    # (ood_recall_curve_4m) is produced as a persisted artifact by the
+    # the 10M OOD set (VERDICT r6 #1): exact anchor (single-run — see
+    # ALWAYS_RERUN note) vs two recall-gated IVF+SQ8 operating points at
+    # BASELINE row 3's own scale, serving points min-of-3 with per-run
+    # times.  The recall/QPS grid itself
+    # (ood_recall_curve_10m) is produced as a persisted artifact by the
     # warm phase but NOT timed here: its 6-point sweep is minutes of
     # wall whose QPS columns are already recorded inside the artifact.
-    "knn_ip_4m",
-    "knn_ip_4m_ivfsq",
-    "knn_ip_4m_ivfsq_lo",
+    "knn_ip_10m",
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
+    # reference-scale streaming point (VERDICT r6 #4): the msturing-1M
+    # simple_runbook shape with exact checkpoint search — recall 1.0 by
+    # construction, wall compared against the reference's ~2-3.5 min;
+    # single-run (a full replay is several jobs, RERUN_BELOW_SEC governs)
+    "streaming_replay_1m",
     # knn_ip_100k (BASELINE row-3 point) is correctness-gated but NOT
     # benched: its one long BLAS job amplifies host-load noise 5-10x
     # (measured 6-15s clean vs 45-78s under steal bursts), which would
@@ -162,8 +170,8 @@ def main() -> None:
         "streaming_clustered_replay",
         "sparse_mips_100k",
         "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
-        "knn_ip_4m_ivfsq",  # stages the 4M base + builds IVF(2000)+SQ8
-        "ood_recall_curve_4m",  # stages the 4M ground truth + refreshes
+        "knn_ip_10m_ivfsq",  # stages the 10M base + builds IVF(3200)+SQ8
+        "ood_recall_curve_10m",  # stages the 10M ground truth + refreshes
         # the persisted recall/QPS curve artifact (parquet + CSV)
         # not an index build: first stateful-stream start pays one-time
         # Python worker + state-store spin-up (~10s); warm it so the

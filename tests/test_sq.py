@@ -308,17 +308,17 @@ def test_ivfsq_direct_read_equals_dataframe_path(tmp_path, spark, base, ivfsq):
         assert want.exceptAll(got).count() == 0
 
 
-def test_ivfsq_ip_4m_recall(spark):
-    """The 2M operating-point pins (VERDICT r5 #3): both registered
+def test_ivfsq_ip_10m_recall(spark):
+    """The 10M operating-point pins (VERDICT r6 #1): both registered
     serving points must clear their recall gates against the staged
-    numpy ground truth — nprobe=16 ("hi") ≥ 0.99, nprobe=10 ("lo") ≥ 0.9
-    (the baseline's own gate; measured 1.0000 and 0.9641).  Tie-aware: a returned id counts when its
-    TRUE score ties-or-beats the true 10th score.  True scores of the
-    returned ids are recomputed from the closed-form generator (64
-    sampled queries × ≤10 ids — trivial)."""
+    numpy ground truth — "hi" ≥ 0.95, "lo" ≥ 0.9 (the baseline's own
+    gate).  Tie-aware: a returned id counts when its TRUE score
+    ties-or-beats the true 10th score.  True scores of the returned ids
+    are recomputed from the closed-form generator (64 sampled queries ×
+    ≤10 ids — trivial)."""
     from filter_vectordb_spark import registry
 
-    gt = registry._gt_kth_4m(spark)
+    gt = registry._gt_kth_10m(spark)
     kth = dict(zip(gt["qid"].astype(int), gt["kth"]))
     K1, K3 = 2654435761, 2246822519
     js = np.arange(192, dtype=np.int64)
@@ -329,7 +329,7 @@ def test_ivfsq_ip_4m_recall(spark):
             (((ids[:, None] * K1) ^ ((js[None, :] + 1) * K3)) >> 11) % 251
         ).astype(np.float64)
 
-    for name, floor in (("knn_ip_4m_ivfsq", 0.99), ("knn_ip_4m_ivfsq_lo", 0.9)):
+    for name, floor in (("knn_ip_10m_ivfsq", 0.95), ("knn_ip_10m_ivfsq_lo", 0.9)):
         res = registry.QUERIES[name](spark, SF_DIR).toPandas()
         rec = 0.0
         for qid in kth:
@@ -369,6 +369,38 @@ def test_integer_snap_grid_is_lossless_and_exact_codes_serving(spark):
     ).select("qid", "rank", "id")
     want = knn_join(q, base, K, metric="ip").select("qid", "rank", "id")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_lossless_certificate_rejects_adversarial_corpora(spark):
+    """ADVICE r6: the exact_codes gate must refuse the two corpora that
+    used to slip through the shape-only check — (a) a NON-integer corpus
+    whose per-dim extrema are coincidentally integers exactly 255 apart
+    (codes are lossy; train_sq now ulp-widens vmax so the snapped shape
+    is a sound certificate), and (b) an integer corpus of magnitude
+    > 255 (decode is lossless but f32 'exact' scores would silently
+    round past 2²⁴ — the bounds clause refuses it)."""
+    from filter_vectordb_spark.index.sq import is_lossless_grid, train_sq
+
+    # (a) float values 0.5 .. with extrema {0.0, 255.0} per dim
+    rows_a = [
+        (0, [0.0, 0.0]),
+        (1, [0.5, 17.25]),
+        (2, [255.0, 255.0]),
+    ]
+    base_a = spark.createDataFrame(rows_a, "id LONG, emb ARRAY<DOUBLE>")
+    vmin_a, vmax_a = train_sq(base_a)
+    assert not is_lossless_grid(vmin_a, vmax_a)
+    # the ulp widening must not have moved the grid materially
+    assert np.allclose(vmax_a, 255.0) and np.all(vmax_a > 255.0)
+
+    # (b) integers in [1000, 1255]: range fits 255, magnitudes do not
+    rows_b = [(i, [1000.0 + i, 1255.0 - i]) for i in range(4)]
+    base_b = spark.createDataFrame(rows_b, "id LONG, emb ARRAY<DOUBLE>")
+    vmin_b, vmax_b = train_sq(base_b)
+    # snap still applies (lossless DECODE is real and the finest grid)…
+    assert np.array_equal(vmax_b - vmin_b, [255.0, 255.0])
+    # …but the serving certificate refuses the out-of-regime magnitudes
+    assert not is_lossless_grid(vmin_b, vmax_b)
 
 
 def test_exact_codes_rejects_lossy_grid_and_float_queries(spark, base, codes, grid):
