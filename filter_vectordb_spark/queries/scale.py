@@ -527,7 +527,7 @@ def streaming_replay_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame state algebra with EXACT search at every checkpoint:
     recall@10 is 1.0 by construction where the reference's DiskANN
     dynamic index measures 0.906 @ ~3.5 min / 0.958 @ ~2 min on its
-    8-vCPU host.  The bench records the total wall.  8,192 queries ×
+    8-vCPU host.  The bench records the total wall.  2,048 queries ×
     3 checkpoints; structural invariants (checkpoint count, k rows per
     query, tombstoned ids absent at checkpoint 2) are pytest-pinned."""
     import os
@@ -536,7 +536,11 @@ def streaming_replay_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _synth_msturing1m(spark)
     base = src.filter(F.col("id") < 1_000_000)
-    q = src.filter(F.col("id") >= 1_000_000).select(
+    # 2,048 queries × 3 checkpoints: the checkpoint searches then cost
+    # ~1/4 of the replay wall (the state materializations dominate, as
+    # insert time dominates the reference's wall too) — nq=8192 measured
+    # 290 s under load, pushing the whole bench past its window
+    q = src.filter(F.col("id").between(1_000_000, 1_002_047)).select(
         (F.col("id") - 1_000_000).alias("qid"), F.col("emb").alias("qemb")
     )
     ypath = os.path.join(

@@ -307,7 +307,7 @@ def test_msturing1m_replay_invariants(spark):
     assert [r["checkpoint"] for r in agg] == [1, 2, 3]
     for r in agg:
         assert r["rows"] == r["nq"] * 10, r
-        assert r["nq"] == 8192, r
+        assert r["nq"] == 2048, r
     # checkpoint 2 searched the post-delete snapshot: ids < 500k gone
     assert agg[1]["min_id"] >= 500_000
     # checkpoints 1 and 3 search the full 1M set: some id < 500k wins
