@@ -47,6 +47,13 @@ def view_is_built(out_dir: str) -> bool:
     )
 
 
+#: per-session memo of loaded view metadata, keyed by (appId, path,
+#: _SUCCESS mtime) — the grid read is a whole (tiny) Spark job, pure
+#: per-batch overhead on a serving path otherwise, and the freshness
+#: token invalidates on rebuild (same pattern as ivfsq._LOAD_CACHE)
+_VIEW_CACHE: dict = {}
+
+
 def _load_view(spark: SparkSession, out_dir: str):
     """(view_df, decode_offset | None): coded views decode as
     x = codes + (vmin + 128) (scale is exactly 1 on a lossless grid).
@@ -54,10 +61,24 @@ def _load_view(spark: SparkSession, out_dir: str):
     shared-filesystem contract as the direct-read serving path."""
     from filter_vectordb_spark.index.sq import read_grid
 
-    if os.path.exists(f"{out_dir}/grid/_SUCCESS"):
-        vmin, _vmax = read_grid(spark, f"{out_dir}/grid")
-        return spark.read.parquet(f"{out_dir}/view"), vmin + 128.0
-    return spark.read.parquet(out_dir), None
+    coded = os.path.exists(f"{out_dir}/grid/_SUCCESS")
+    marker = f"{out_dir}/view/_SUCCESS" if coded else f"{out_dir}/_SUCCESS"
+    try:
+        token = os.stat(marker).st_mtime_ns
+    except OSError:
+        token = None
+    key = (spark.sparkContext.applicationId, out_dir, token)
+    hit = _VIEW_CACHE.get(key)
+    if hit is None:
+        if coded:
+            vmin, _vmax = read_grid(spark, f"{out_dir}/grid")
+            hit = (spark.read.parquet(f"{out_dir}/view"), vmin + 128.0)
+        else:
+            hit = (spark.read.parquet(out_dir), None)
+        for stale in [k for k in _VIEW_CACHE if k[1] == out_dir]:
+            del _VIEW_CACHE[stale]  # at most one live layout per path
+        _VIEW_CACHE[key] = hit
+    return hit
 
 
 def _group_matrix(X_all: np.ndarray, grp: np.ndarray, off: np.ndarray | None,

@@ -274,7 +274,7 @@ def knn_ip_1m_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ood/diskann/config.yaml:13-27` Ls grid): the same 2,048-query
     dense-IP workload as knn_ip_1m, served through IVF(nlist=256,
     sample-trained)+SQ8 at nprobe=16 — per query ~6% of the corpus is
-    scanned, as 1-byte codes, then only the refine=32 survivors are
+    scanned, as 1-byte codes, then only the refine=16 survivors are
     exact-rescored.  Tie-aware probe recall on the v2 fixture measures
     1.0 at nprobe=16 (the 1M corpus is dense enough that the true
     top-10 concentrate in the nearest lists), pinned ≥0.9 in
@@ -289,7 +289,7 @@ def knn_ip_1m_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries, centroids, vmin, vmax, out = _ivfsq_1m(spark)
     q = _synth_queries_staged(spark, nq=2048).select("qid", "qemb")
     return ivfsq_search(
-        q, entries, centroids, vmin, vmax, base, 10, nprobe=16, refine=32,
+        q, entries, centroids, vmin, vmax, base, 10, nprobe=16, refine=16,
         metric="ip", entries_dir=f"{out}/entries", exact_codes=True,
     ).select("qid", "rank", "id")
 
