@@ -219,24 +219,29 @@ def main() -> None:
                     runs.setdefault(name, []).append(round(dt, 3))
                 elif best >= RERUN_BELOW_SEC:
                     break
-            timings[name] = round(best, 3)
+            timings[name] = round(best, 2)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # keep the bench line emittable
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": {k: [round(t, 2) for t in v] for k, v in runs.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver records (and parses) only the LAST 2000 chars of output —
+    # r6's 2.1 KB line came back "parsed": null.  Compact separators +
+    # 2-decimal rounding keep the line inside the window; if the registry
+    # grows past it anyway, the per-run arrays move to stderr first.
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1950:
+        print(f"bench runs: {payload.pop('runs')}", file=sys.stderr)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
