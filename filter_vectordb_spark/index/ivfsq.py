@@ -319,7 +319,13 @@ def _ivfsq_score_chunk(
     probed partitions ONCE (each entry row ships once, scored against
     every chunk query probing its list — not the probe-pair join shape,
     which duplicates the codes per probing query), emit per-batch partial
-    top-`refine` per query."""
+    top-`refine` per query.
+
+    Known limitation vs the direct route: Spark owns the partitioning
+    here, so a hot list (IP probe skew — see _ivfsq_score_chunk_direct)
+    is scored inside whichever single task reads its file; serving
+    paths that care about the straggler should pass entries_dir and get
+    hot-list query slicing."""
     qids_np, Q, probe_map = _probe_map(chunk_pdf, C, cids, nprobe, metric)
 
     # float32 decode + GEMM: ~30× faster than float64 on this host's
