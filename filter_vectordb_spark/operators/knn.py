@@ -139,25 +139,40 @@ def gemm_topk(
     for lo in range(0, nb, chunk):
         Xc = X[lo : lo + chunk]
         G = Q @ Xc.T  # (nq, c) C-contiguous
-        if metric == "l2":
-            D = qn[:, None] - 2.0 * G.astype(np.float64) + xn[None, lo : lo + chunk]
-            np.maximum(D, 0.0, out=D)
-            key = D
-        elif metric == "ip":
-            D = G.astype(np.float64)
-            key = -D
-        else:  # cos — qn/xn carry the precomputed ‖·‖ norms; divide (not
-            # reciprocal-multiply) to keep f64 rounding identical to the
-            # expression path G / (‖q‖·‖x‖)
-            D = G.astype(np.float64) / (qn[:, None] * xn[None, lo : lo + chunk])
-            key = -D
-        kk = min(k, D.shape[1])
-        if kk < D.shape[1]:
-            p = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        nc = G.shape[1]
+        kk = min(k, nc)
+        if metric == "ip":
+            # select straight on G (kk LARGEST via a right-side
+            # argpartition) — the previous full-matrix f64 convert +
+            # negation wrote 2 extra passes over nq×nb scores before
+            # any selection, which at the 10M anchor is ~32 GB of pure
+            # memory traffic; only the nq×kk survivors become f64.
+            # Exact-equivalent: for the f32-integer contract G is exact,
+            # and for f64 inputs G is already the final score — only
+            # the boundary-tie SUBSET can differ, the same composition
+            # dependence the docstring already declares.
+            if kk < nc:
+                p = np.argpartition(G, nc - kk, axis=1)[:, nc - kk :]
+            else:
+                p = np.tile(np.arange(nc), (nq, 1))
+            v = np.take_along_axis(G, p, axis=1).astype(np.float64)
+            p = p + lo
         else:
-            p = np.tile(np.arange(D.shape[1]), (nq, 1))
-        v = np.take_along_axis(D, p, axis=1)
-        p = p + lo
+            if metric == "l2":
+                D = qn[:, None] - 2.0 * G.astype(np.float64) + xn[None, lo : lo + chunk]
+                np.maximum(D, 0.0, out=D)
+                key = D
+            else:  # cos — qn/xn carry the precomputed ‖·‖ norms; divide (not
+                # reciprocal-multiply) to keep f64 rounding identical to the
+                # expression path G / (‖q‖·‖x‖)
+                D = G.astype(np.float64) / (qn[:, None] * xn[None, lo : lo + chunk])
+                key = -D
+            if kk < nc:
+                p = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            else:
+                p = np.tile(np.arange(nc), (nq, 1))
+            v = np.take_along_axis(D, p, axis=1)
+            p = p + lo
         if best_idx is None:
             best_idx, best_dist = p, v
         else:
