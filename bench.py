@@ -171,8 +171,11 @@ def main() -> None:
         "sparse_mips_100k",
         "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
         "knn_ip_10m_ivfsq",  # stages the 10M base + builds IVF(3200)+SQ8
-        "ood_recall_curve_10m",  # stages the 10M ground truth + refreshes
-        # the persisted recall/QPS curve artifact (parquet + CSV)
+        # ood_recall_curve_10m is NOT warmed here: its 6-point sweep is
+        # ~1-2 min of wall against a bounded bench budget, its index/gt
+        # staging is covered by the knn_ip_10m_ivfsq warm above, and the
+        # driver's correctness sweep refreshes the persisted curve
+        # artifact every round anyway
         # not an index build: first stateful-stream start pays one-time
         # Python worker + state-store spin-up (~10s); warm it so the
         # timed entry measures the stream, not engine init
@@ -187,19 +190,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}  # per-run times for the scale points
+    # localCheckpoint blocks (replay state snapshots) are freed by the
+    # ContextCleaner only after the Python refs drop AND the JVM GCs;
+    # force both after a STATE-HEAVY query so its successor doesn't pay
+    # the old-gen tax (observed 6× on queries following a replay).  A
+    # JVM full GC after every one of ~67 queries costs ~a minute of the
+    # bounded bench wall for nothing — only these leave big state behind.
+    GC_AFTER = ("streaming_", "knn_ip_1m", "knn_ip_10m", "_100k", "_1m")
+    gc_pending = False
+    import gc
+
     for name in BENCH_QUERIES:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         spark.catalog.clearCache()  # queries are independent; no carry-over
-        # localCheckpoint blocks (replay state snapshots) are freed by the
-        # ContextCleaner only after the Python refs drop AND the JVM GCs;
-        # force both between queries so no query pays its predecessor's
-        # old-gen tax (observed 6× on queries following a replay)
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        if gc_pending:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        gc_pending = any(tok in name for tok in GC_AFTER)
         try:
             # best-of-RUN_COUNT, the reference's measurement protocol
             # (filter/run.py:36: best_search_time = min over run_count).
