@@ -117,7 +117,12 @@ def _filtered_scan_chunk(qpdf, base: DataFrame, k: int) -> DataFrame:
     # predicate, so every member shares one candidate mask
     groups: dict[tuple, list[int]] = {}
     for j, t in enumerate(qpdf["qtags"]):
-        groups.setdefault(tuple(sorted(int(x) for x in t)), []).append(j)
+        # None (a null array after toPandas) ≡ empty conjunction: no
+        # predicate, every row is a candidate (matches the routed plan's
+        # explode+coalesce null tolerance — ADVICE r7)
+        groups.setdefault(
+            tuple(sorted(int(x) for x in (t if t is not None else ()))), []
+        ).append(j)
     qgroups = [
         (np.asarray(need, dtype=np.int64), np.asarray(pos, dtype=np.int64))
         for need, pos in groups.items()
@@ -308,11 +313,18 @@ def filtered_knn(
     thr = mt_threshold * nb
     est = np.array(
         [
-            min((ndoc.get(int(t), 0) for t in tags), default=nb)
+            # None qtags (a null array survives toPandas as None) routes
+            # like the empty array: matches everything → scan branch
+            # (default=nb ≥ thr) — the DataFrame-routed plan's
+            # explode+coalesce tolerated nulls, so must this one (ADVICE r7)
+            min(
+                (ndoc.get(int(t), 0) for t in (tags if tags is not None else ())),
+                default=nb,
+            )
             for tags in head["qtags"]
         ],
         dtype=np.int64,
-    )  # no tags → matches everything → scan branch (default=nb ≥ thr)
+    )
     sel_mask = est < thr
     sel_pdf = head[sel_mask]
     scan_pdf = head[~sel_mask].reset_index(drop=True)

@@ -189,14 +189,20 @@ def gemm_topk(
 def _row_payload_bytes(pdf: pd.DataFrame) -> int:
     """Estimated broadcast bytes per query row: 8 per scalar column, 8
     per element of a list/array column (qids + float64 query matrix is
-    what the scan kernels actually broadcast)."""
+    what the scan kernels actually broadcast).  List lengths are taken
+    as the MAX over the first 16 rows (ADVICE r7): fixed-d vector
+    columns are unaffected, while ragged columns (variable-length tag
+    arrays) no longer let one short first row understate the budget."""
     if len(pdf) == 0:
         return 8
     total = 0
+    sample = pdf.iloc[: min(len(pdf), 16)]
     for c in pdf.columns:
-        v = pdf[c].iloc[0]
-        if isinstance(v, (list, tuple, np.ndarray)):
-            total += 8 * len(v)
+        col = sample[c]
+        if isinstance(col.iloc[0], (list, tuple, np.ndarray)):
+            total += 8 * max(
+                (len(v) for v in col if v is not None), default=1
+            )
         else:
             total += 8
     return max(total, 8)

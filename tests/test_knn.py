@@ -141,3 +141,33 @@ def test_topk_blocked_matches_argpartition_set():
         want = np.sort(key, axis=1)[:, : min(10, nc)]
         got_vals = np.sort(np.take_along_axis(key, got, axis=1), axis=1)
         assert np.array_equal(got_vals, want), nc
+
+
+def test_filtered_knn_null_qtags_routes_to_scan(spark, base, queries):
+    """ADVICE r7: a null qtags array (None after toPandas) must route
+    like the empty conjunction — scan branch, no predicate — in BOTH the
+    driver-side router and the scan kernel, not raise TypeError."""
+    q_null = queries.select(
+        "qid", "qemb", F.lit(None).cast("array<int>").alias("qtags")
+    )
+    got = filtered_knn(q_null, base, K).select("qid", "rank", "id")
+    # no predicate ≡ unfiltered exact k-NN
+    want = knn_join(queries, base, K).select("qid", "rank", "id")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_row_payload_bytes_samples_ragged_rows():
+    """ADVICE r7: the broadcast byte estimate must not be fooled by a
+    short first row of a ragged list column — it samples the first 16
+    rows and takes the max list length."""
+    import pandas as pd
+
+    from filter_vectordb_spark.operators.knn import _row_payload_bytes
+
+    ragged = pd.DataFrame(
+        {
+            "qid": range(4),
+            "qemb": [[1.0], [1.0] * 100, [1.0] * 50, [1.0] * 100],
+        }
+    )
+    assert _row_payload_bytes(ragged) == 8 + 8 * 100

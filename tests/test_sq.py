@@ -183,7 +183,11 @@ def test_ivfsq_probe_prunes_partitions(spark, base, ivfsq, tmp_path):
     save_ivfsq(entries, centroids, vmin, vmax, out)
     e2, c2, mn2, mx2 = load_ivfsq(spark, out)
     q = dense_queries(spark, SF_DIR)
-    res = ivfsq_search(q, e2, c2, mn2, mx2, base, K, nprobe=2, refine=64)
+    # .alias() breaks the load_ivfsq identity match so the search stays
+    # on the DataFrame route — whose pruning contract this test pins
+    # (the identical-object case now auto-delegates to the direct read,
+    # covered by test_ivfsq_delegates_to_direct_read)
+    res = ivfsq_search(q, e2.alias("e"), c2, mn2, mx2, base, K, nprobe=2, refine=64)
     assert_partition_pruned(res)
 
 
@@ -297,8 +301,12 @@ def test_ivfsq_direct_read_equals_dataframe_path(tmp_path, spark, base, ivfsq):
     e2, c2, mn2, mx2 = load_ivfsq(spark, out)
     q = dense_queries(spark, SF_DIR)
     for metric in ("l2", "ip"):
+        # .alias() pins `want` to the DataFrame route (the identity
+        # match would otherwise auto-delegate both sides to the direct
+        # path and the comparison would be vacuous)
         want = ivfsq_search(
-            q, e2, c2, mn2, mx2, base, K, nprobe=4, refine=32, metric=metric
+            q, e2.alias("e"), c2, mn2, mx2, base, K, nprobe=4, refine=32,
+            metric=metric,
         ).select("qid", "rank", "id", "dist")
         got = ivfsq_search(
             q, e2, c2, mn2, mx2, base, K, nprobe=4, refine=32, metric=metric,
@@ -306,6 +314,44 @@ def test_ivfsq_direct_read_equals_dataframe_path(tmp_path, spark, base, ivfsq):
         ).select("qid", "rank", "id", "dist")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_ivfsq_delegates_to_direct_read(tmp_path, spark, base, ivfsq, monkeypatch):
+    """VERDICT r7 #2: entries handed out by load_ivfsq over a local
+    layout must auto-route to the direct-read path (hot-list query
+    slicing) even when the caller omits entries_dir; a DERIVED entries
+    DataFrame must NOT delegate (its transformation would be lost)."""
+    import filter_vectordb_spark.index.ivfsq as mod
+    from filter_vectordb_spark.index.ivfsq import (
+        ivfsq_search,
+        load_ivfsq,
+        save_ivfsq,
+    )
+
+    entries, centroids, vmin, vmax = ivfsq
+    out = str(tmp_path / "ivfsq_delegate")
+    save_ivfsq(entries, centroids, vmin, vmax, out)
+    e2, c2, mn2, mx2 = load_ivfsq(spark, out)
+    q = dense_queries(spark, SF_DIR)
+
+    calls = []
+    real = mod._ivfsq_score_chunk_direct
+
+    def spy(ch, spark_, entries_dir, *a, **kw):
+        calls.append(entries_dir)
+        return real(ch, spark_, entries_dir, *a, **kw)
+
+    monkeypatch.setattr(mod, "_ivfsq_score_chunk_direct", spy)
+    res = ivfsq_search(q, e2, c2, mn2, mx2, base, K, nprobe=4, refine=32)
+    assert res.count() > 0
+    assert calls == [f"{out}/entries"], "load_ivfsq identity must delegate"
+
+    calls.clear()
+    res2 = ivfsq_search(
+        q, e2.alias("e"), c2, mn2, mx2, base, K, nprobe=4, refine=32
+    )
+    assert res2.count() > 0
+    assert calls == [], "derived entries DataFrame must keep the DataFrame route"
 
 
 def test_ivfsq_ip_10m_recall(spark):
@@ -459,16 +505,37 @@ def test_driver_blas_restores_single_thread():
     fn = _driver_blas_threads()
     if fn is None:
         pytest.skip("no OpenBLAS thread setter in this numpy build")
+
+    # locate the matching GETTER in the same OpenBLAS build (ADVICE r7:
+    # the previous behavioral check compared an expression to itself —
+    # vacuous); ILP64 builds suffix with 64_
+    import ctypes
+    import glob
+    import os
+
+    getter = None
+    for pat in ("numpy.libs/*openblas*", "scipy.libs/*openblas*"):
+        hits = glob.glob(os.path.join(np.__path__[0], "..", pat))
+        if hits:
+            lib = ctypes.CDLL(hits[0])
+            for sym in ("openblas_get_num_threads64_", "openblas_get_num_threads"):
+                g = getattr(lib, sym, None)
+                if g is not None:
+                    g.restype = ctypes.c_int
+                    getter = g
+                    break
+            break
+    if getter is None:
+        pytest.skip("no OpenBLAS thread getter in this numpy build")
+
+    fn(1)  # establish the executor invariant explicitly
     with driver_blas(4):
-        pass
+        assert getter() == 4  # cores actually borrowed inside the body
+    assert getter() == 1  # ...and handed back on clean exit
     try:
         with driver_blas(4):
+            assert getter() == 4
             raise RuntimeError("boom")
     except RuntimeError:
         pass
-    # the setter has no getter on all builds; assert behaviorally — a
-    # GEMM after exit must produce identical results to a fresh
-    # 1-thread run (determinism is the invariant the kernels rely on)
-    A = np.arange(512 * 64, dtype=np.float32).reshape(512, 64) % 251
-    B = (np.arange(64 * 128, dtype=np.float32).reshape(128, 64) % 251)
-    assert np.array_equal(A @ B.T, A @ B.T)
+    assert getter() == 1  # ...and on exceptional exit
