@@ -93,3 +93,50 @@ def test_synth_sparse_deterministic_and_shaped(spark):
     q = synth_sparse_queries(spark, nq=8, vocab=1000, nnz=4)
     corpus_rows = a.select(F.col("id").alias("qid"), "term")
     assert q.select("qid", "term").exceptAll(corpus_rows).count() == 0
+
+
+def test_sparse_topk_sharded_equals_join_aggregate(spark, tmp_path):
+    """The doc-sharded segment scan (sparse_topk_sharded — per-file full
+    scores, local top-k, tiny merge) must return exactly the
+    join-aggregate plan's rows on a shared staged corpus, including the
+    (score desc, id asc) tie order."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk_sharded
+    from filter_vectordb_spark.sources.synth import (
+        synth_sparse_queries,
+        synth_sparse_terms,
+    )
+
+    q = synth_sparse_queries(spark, nq=64, nnz=12)
+    terms = synth_sparse_terms(spark, n=5000, nnz=30)
+    # two stagings: the optimized layout (range-partitioned by id +
+    # term-sorted within files — the fixture stager's shape, exercising
+    # the sorted fast path + contiguous dense index) and the raw
+    # generator layout (round-robin ids, term-unsorted — exercising the
+    # in-kernel argsort + gap-tolerant dense index)
+    layouts = {
+        "sorted": lambda df: df.repartitionByRange(4, "id").sortWithinPartitions(
+            "term"
+        ),
+        "raw": lambda df: df,
+    }
+    for name, prep in layouts.items():
+        out = str(tmp_path / f"terms_{name}")
+        prep(terms).write.parquet(out)
+        d = spark.read.parquet(out)
+        want = sparse_topk(q, d, 10).select("qid", "rank", "id", "score")
+        got = sparse_topk_sharded(spark, out, q, 10).select(
+            "qid", "rank", "id", "score"
+        )
+        assert got.exceptAll(want).count() == 0, name
+        assert want.exceptAll(got).count() == 0, name
+
+
+def test_sparse_topk_sharded_rejects_bad_paths(spark, tmp_path):
+    from filter_vectordb_spark.operators.sparse import sparse_topk_sharded
+    from filter_vectordb_spark.sources.synth import synth_sparse_queries
+
+    q = synth_sparse_queries(spark, nq=2, nnz=4)
+    with pytest.raises(Exception, match="URI schemes"):
+        sparse_topk_sharded(spark, "s3://bucket/terms", q, 10).count()
+    with pytest.raises(Exception, match="no parquet files"):
+        sparse_topk_sharded(spark, str(tmp_path / "nope"), q, 10).count()
