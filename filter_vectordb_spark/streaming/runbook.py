@@ -132,6 +132,7 @@ class StreamingReplayer:
         self.max_pts = max_pts
         self.state: DataFrame | None = None
         self.unprocessed_deletes = 0
+        self.consolidations = 0  # ST4 physical rewrites performed
         self._live: list[tuple[int, int]] = []  # disjoint id intervals
         self._mutations = 0
         # consecutive inserts coalesce into ONE union+anti-join at the
@@ -207,6 +208,7 @@ class StreamingReplayer:
         if active + self.unprocessed_deletes >= self.max_pts:
             self.state = self.state.filter(~F.col("deleted"))
             self.unprocessed_deletes = 0
+            self.consolidations += 1
 
     def consolidate(self) -> None:
         """Explicit compaction (Delta OPTIMIZE analog)."""
@@ -217,6 +219,7 @@ class StreamingReplayer:
             )
             self.unprocessed_deletes = 0
             self._mutations = 0
+            self.consolidations += 1
 
     # -- ST5/ST6 -----------------------------------------------------------
     def active(self) -> DataFrame:
@@ -262,6 +265,7 @@ def replay(
     queries: DataFrame,
     k: int = 10,
     compute_dtype: str = "float64",
+    rp: StreamingReplayer | None = None,
 ) -> DataFrame:
     """Replay a runbook, returning stacked search-checkpoint results
     (checkpoint INT, qid, rank, id) — the reference records results at
@@ -269,8 +273,11 @@ def replay(
 
     `source` supplies (id, emb); insert steps slice it by id range, the
     runner's `ids = arange(start, end)` semantics (`streaming/run.py:39-41`).
-    """
-    rp = StreamingReplayer(spark, runbook.max_pts)
+    Pass a pre-built `rp` to inspect replayer counters (consolidations,
+    unprocessed deletes) after the run — the consolidation-pressure
+    tests do."""
+    if rp is None:
+        rp = StreamingReplayer(spark, runbook.max_pts)
     results: list[DataFrame] = []
     checkpoint = 0
     for step in runbook.steps:

@@ -313,3 +313,49 @@ def test_msturing1m_replay_invariants(spark):
     # checkpoints 1 and 3 search the full 1M set: some id < 500k wins
     # somewhere across 8k queries on this uniform fixture
     assert agg[0]["min_id"] < 500_000 and agg[2]["min_id"] < 500_000
+
+
+def test_delete_runbook_consolidation_pressure(spark, tmp_path):
+    """VERDICT r7 #4 invariants for the clustered delete-runbook shape
+    (generate_delete_runbook + StreamingReplayer), at small scale with
+    the same code the 1M bench row runs: the max_pts=3/4 cap must fire
+    ST4 threshold consolidation at least twice, every checkpoint must
+    return k rows per query, and the final checkpoint must equal exact
+    brute force over the surviving id set (tombstoned ranges absent)."""
+    from filter_vectordb_spark.operators.knn import knn_join
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+    from filter_vectordb_spark.streaming.clustered import generate_delete_runbook
+    from filter_vectordb_spark.streaming.runbook import (
+        StreamingReplayer,
+        parse_runbook_yaml,
+        replay,
+    )
+
+    n, k = 2000, 5
+    base = synth_uint8_base(spark, n=n, d=32).select("id", "emb").localCheckpoint()
+    q = synth_queries(spark, nq=8, d=32).select("qid", "qemb")
+    offsets = list(range(0, n + 1, n // 8))  # 8 equal clusters
+    ypath = str(tmp_path / "delete_runbook.yaml")
+    generate_delete_runbook(offsets, ypath, dataset="t")
+    rb = parse_runbook_yaml(ypath, "t")
+    assert rb.max_pts == n * 3 // 4
+    rp = StreamingReplayer(spark, rb.max_pts)
+    res = replay(spark, base, rb, q, k=k, rp=rp).toPandas()
+
+    assert rp.consolidations >= 2, rp.consolidations
+    assert sorted(res["checkpoint"].unique()) == [1, 2, 3, 4]
+    counts = res.groupby(["checkpoint", "qid"]).size()
+    assert (counts == k).all()
+    # final live set: schedule deletes [0, c1_mid) ∪ [c2, c3)
+    c = n // 8
+    dead = set(range(0, c + c // 2)) | set(range(2 * c, 3 * c))
+    last = res[res["checkpoint"] == 4]
+    assert not (set(last["id"]) & dead)
+    live = base.filter(~F.col("id").between(0, c + c // 2 - 1)).filter(
+        ~F.col("id").between(2 * c, 3 * c - 1)
+    )
+    want = knn_join(q, live, k).select("qid", "rank", "id").toPandas()
+    got = last[["qid", "rank", "id"]]
+    merged = want.merge(got, on=["qid", "rank"], suffixes=("_w", "_g"))
+    assert len(merged) == len(want) == len(got)
+    assert (merged["id_w"] == merged["id_g"]).all()
