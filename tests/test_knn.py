@@ -171,3 +171,95 @@ def test_row_payload_bytes_samples_ragged_rows():
         }
     )
     assert _row_payload_bytes(ragged) == 8 + 8 * 100
+
+
+def test_knn_join_direct_read_equals_dataframe_path(spark, tmp_path):
+    """base_dir (the direct pyarrow file read, VERDICT r7 #3) must
+    return the exact rows of the DataFrame scan — same kernel over the
+    same rows, across metrics and compute dtypes."""
+    import numpy as np
+
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+
+    out = str(tmp_path / "staged_base")
+    synth_uint8_base(spark, n=3000).select("id", "emb").repartition(5).write.parquet(out)
+    staged = spark.read.parquet(out)
+    q = synth_queries(spark, nq=12).select("qid", "qemb")
+    for metric, dtype in (("l2", "float64"), ("ip", "float32"), ("cos", "float64")):
+        want = knn_join(
+            q, staged, K, metric=metric, compute_dtype=dtype
+        ).select("qid", "rank", "id", "dist")
+        got = knn_join(
+            q, staged, K, metric=metric, compute_dtype=dtype, base_dir=out
+        ).select("qid", "rank", "id", "dist")
+        assert got.exceptAll(want).count() == 0, (metric, dtype)
+        assert want.exceptAll(got).count() == 0, (metric, dtype)
+
+
+def test_knn_join_direct_read_rejects_bad_paths(spark, tmp_path):
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+
+    out = str(tmp_path / "staged_base2")
+    synth_uint8_base(spark, n=100).select("id", "emb").write.parquet(out)
+    staged = spark.read.parquet(out)
+    q = synth_queries(spark, nq=2).select("qid", "qemb")
+    with pytest.raises(Exception, match="URI schemes"):
+        knn_join(q, staged, K, base_dir="s3://bucket/x").count()
+    with pytest.raises(Exception, match="no parquet files"):
+        knn_join(q, staged, K, base_dir=str(tmp_path / "nope")).count()
+
+
+def test_gemm_topk_threshold_pruning_matches_bruteforce():
+    """The threshold-pruned selection (r8) must return exactly the k
+    best per row on distinct-valued inputs across metrics and dtypes,
+    with nb >> chunk so the pruned path and its periodic consolidation
+    actually run (chunk=64 forces ~30 threshold chunks and, with
+    cap ≈ 4·nq·k, several mid-stream merges)."""
+    import numpy as np
+
+    from filter_vectordb_spark.operators.knn import gemm_topk
+
+    rng = np.random.RandomState(11)
+    nq, nb, d, k = 7, 2000, 24, 10
+    Q64 = rng.rand(nq, d) * 10
+    X64 = rng.rand(nb, d) * 10
+    for metric in ("l2", "ip", "cos"):
+        qn64 = (Q64 * Q64).sum(1)
+        xn64 = (X64 * X64).sum(1)
+        qn = {"l2": qn64, "ip": None, "cos": np.sqrt(qn64)}[metric]
+        xn = {"l2": xn64, "ip": None, "cos": np.sqrt(xn64)}[metric]
+        idx, dist = gemm_topk(Q64, qn, X64, xn, metric, k, chunk=64)
+        G = Q64 @ X64.T
+        if metric == "l2":
+            D = qn64[:, None] - 2.0 * G + xn64[None, :]
+            want = np.sort(D, axis=1)[:, :k]
+            got = np.sort(dist, axis=1)
+        else:
+            D = G if metric == "ip" else G / (np.sqrt(qn64)[:, None] * np.sqrt(xn64)[None, :])
+            want = -np.sort(-D, axis=1)[:, :k]
+            got = -np.sort(-dist, axis=1)
+        assert np.allclose(got, want, rtol=0, atol=1e-9), metric
+        # indices must actually point at those values
+        rowv = np.take_along_axis(D, idx, axis=1)
+        assert np.allclose(np.sort(rowv, axis=1), np.sort(dist, axis=1)), metric
+
+
+def test_gemm_topk_threshold_keeps_boundary_ties_f32():
+    """f32 scores with many exact boundary ties: the pruned path's
+    candidate pool must include tied values (>= / <= compare), so the
+    selected VALUE multiset equals brute force even when the k-th place
+    ties broadly."""
+    import numpy as np
+
+    from filter_vectordb_spark.operators.knn import gemm_topk
+
+    rng = np.random.RandomState(5)
+    nq, nb, d, k = 4, 1500, 8, 10
+    # coarse integer grid → massive score collisions, f32-exact
+    Q = rng.randint(0, 4, size=(nq, d)).astype(np.float32)
+    X = rng.randint(0, 4, size=(nb, d)).astype(np.float32)
+    idx, dist = gemm_topk(Q, None, X, None, "ip", k, chunk=128)
+    D = Q.astype(np.float64) @ X.astype(np.float64).T
+    for qi in range(nq):
+        want = -np.sort(-D[qi])[:k]
+        assert np.array_equal(-np.sort(-dist[qi]), want), qi
