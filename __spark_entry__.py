@@ -30,69 +30,73 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # new this round (r7): the 10M OOD set at BASELINE row 3's own scale
-    # (VERDICT r6 #1 — exact anchor, two recall-gated IVF+SQ8 serving
-    # points with the single-stage driver merge + hot-list query
-    # slicing, the measured recall/QPS grid) and the msturing-1M-shaped
-    # streaming replay (VERDICT r6 #4)
+    # new this round (r8): the hash-checked OOD serving twin (the 1M
+    # nq=8 pipeline on the distribution-shifted query set, VERDICT r7
+    # #1), the clustered delete-runbook replay with consolidation
+    # pressure (VERDICT r7 #4), and the 1M-doc sparse segment-scan
+    # point (VERDICT r7 #5)
+    "knn_ip_1m_nq8_ood",
+    "streaming_replay_1m_clustered",
+    "sparse_mips_1m",
+    # re-gated this round — must re-green: the 10M points now run the
+    # genuinely out-of-distribution query batch (VERDICT r7 #1) with
+    # the 256-sample ground truth (r7 #3), and the exact anchors read
+    # their staged base directly (r7 #3 transfer fix)
     "knn_ip_10m",
     "knn_ip_10m_ivfsq",
     "knn_ip_10m_ivfsq_lo",
     "ood_recall_curve_10m",
-    "streaming_replay_1m",
-    # changed this round — must re-green: SQ8-coded tag views (r6 #5),
-    # driver-side routing split (r6 #6), Arrow above-cap chunking +
-    # byte-aware broadcast cap (r6 #2/#3), strengthened exact_codes
-    # gate (ADVICE r6)
-    "tag_partition_knn",
-    "tag_pair_partition_knn",
-    "filtered_knn_100k_nq32",
-    "filtered_knn_100k",
-    "filtered_knn_router",
+    # hash-checked twin of the changed IVF+SQ8 delegation + direct-read
+    # serving surface
     "knn_ip_1m_nq8",
-    "knn_ip_1m_ivfsq",
-    "sq_knn",
-    "ivfsq_knn",
-    # r6-invisible (no CORRECTNESS_r06 row — rotated back per the
-    # standing contract, VERDICT r6 #7)
-    "knn_l2",
-    "knn_ip",
-    "knn_cosine",
-    "tag_doc_freq",
-    "posting_intersection",
-    "posting_union",
-    "knn_result_matrix",
-    "recall_at_k",
-    "results_sink_roundtrip",
-    "tag_signatures",
-    "vector_norms",
-    "hybrid_rrf_search",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast",
-    "events_sessionize",
-    "doc_fingerprint",
-    "token_stats",
-    "text_quality",
-    "eval_contamination",
-    "dedup_substring_windows",
-    "dedup_substring_windows_hashed",
-    "token_stats_bpe",
-    "lang_id_ngram",
-    "dedup_exact",
-    "streaming_dedup",
-    "corpus_split",
-    "corpus_token_quantiles",
-    "corpus_stratified_sample",
-    "lsh_cosine_knn",
-    "knn_ip_100k",
-    "knn_ip_1m",
-    "sparse_mips_100k",
-    "recall_qps_curve",
-    "recall_qps_curve_100k",
-    # every other query was driver-green in r6 (CORRECTNESS_r06) and
-    # stays registered + pytest-checked; it re-enters the sample in r8.
+    # r7-invisible (no CORRECTNESS_r07 row — rotated back per the
+    # standing contract, VERDICT r7 #6); uint8_knn and the knn_l2
+    # variants hash-check the rewritten threshold-pruned selection
+    # kernel from the driver side
+    "knn_l2_expr",
+    "filtered_knn_meta",
+    "filtered_knn_scan",
+    "filtered_knn_sig",
+    "sparse_mips",
+    "sparse_mips_alpha",
+    "sparse_mips_budget",
+    "top_parts_per_brand",
+    "events_hourly",
+    "orders_priority_rollup",
+    "events_hourly_stream",
+    "events_asof_join",
+    "streaming_replay",
+    "streaming_clustered_replay",
+    "streaming_delete_replay",
+    "ivf_full_probe",
+    "pq_adc_knn",
+    "ivf_incremental_search",
+    "ivfpq_knn",
+    "text_repetition",
+    "corpus_mix_allocation",
+    "pii_scrub",
+    "signup_click_conversion",
+    "dedup_jaccard_pairs",
+    "dedup_minhash",
+    "dedup_minhash_clusters",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "media_features",
+    "media_frame_sample",
+    "media_decode_stats",
+    "uint8_knn",
+    "binfmt_roundtrip",
+    "binfmt_fetch_roundtrip",
+    "range_search_uint8",
+    "tag_pair_doc_freq",
+    "dedup_filtered_corpus",
+    "knn_l2_batch",
+    "q4_order_priority",
+    "customer_running_total",
+    "sparse_csr_roundtrip",
+    # every other query was driver-green in r7 (CORRECTNESS_r07) and
+    # stays registered + pytest-checked; it re-enters the sample in r9.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

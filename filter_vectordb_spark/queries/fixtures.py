@@ -1,0 +1,284 @@
+"""Build-once staging helpers for the bench-honesty scale fixtures
+(100k/1M/10M synth corpora, query batches, IVF+SQ8 indexes, numpy
+ground truth) — split out of queries/scale.py (VERDICT r7 #8) so the
+scale-point registrations stay reviewable.
+
+Everything here is content-addressed into the shared on-disk cache
+(queries.core._index_cache_dir) and idempotent: stage once per machine,
+serve from parquet after — the reference's fit-then-measure protocol
+(BASELINE QPS numbers exclude build time, `filter/run.py:15-52`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.queries.core import _index_cache_dir, _is_built
+
+# ------------------------------------------------------------- 100k fixture
+
+
+def _synth100k_base(spark: SparkSession) -> DataFrame:
+    """Stage (once) and load the 100k × 192-d v2 fixture as (id, emb)."""
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+    out = _index_cache_dir("synth100k_v2", "base")
+    if not _is_built(out):
+        synth_uint8_base(spark).select("id", "emb").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _synth_queries_staged(spark: SparkSession, nq: int) -> DataFrame:
+    """Stage (once) and load a synth query batch — the reference reads
+    its query set from a file, it does not regenerate it per run
+    (`filter/run.py:10-12`); regenerating via the 32-task mapInPandas
+    job cost ~3.7 s per measured run at nq=2048, pure fixture overhead.
+    NOTE: these queries are the first nq BASE vectors (in-distribution
+    by construction) — the filter track's query regime.  The OOD serving
+    points use _synth_ood_queries_staged instead (VERDICT r7 #1)."""
+    from filter_vectordb_spark.sources.synth import synth_queries
+
+    out = _index_cache_dir("synth100k_v2", f"queries_nq{nq}")
+    if not _is_built(out):
+        synth_queries(spark, nq=nq).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def _synth_ood_queries_staged(spark: SparkSession, nq: int) -> DataFrame:
+    """Stage (once) and load the distribution-shifted query batch
+    (sources/synth.synth_ood_queries): different hash family, per-dim
+    shifted/scaled marginals, qids ∉ corpus — the text2image-shaped
+    workload the OOD track actually measures (VERDICT r7 #1)."""
+    from filter_vectordb_spark.sources.synth import synth_ood_queries
+
+    out = _index_cache_dir("synth_ood_v1", f"queries_nq{nq}")
+    if not _is_built(out):
+        synth_ood_queries(spark, nq=nq).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+# -------------------------------------------------------------- 1M fixture
+
+
+def _synth1m_base(spark: SparkSession) -> DataFrame:
+    """Stage (once) and load the 1M × 192-d v2 fixture — 10× the 100k
+    point, one decade below the OOD track's text2image-10M.  At this
+    size the exact scan is ~79 Gflop per 2k-query batch, so a sub-linear
+    index path shows a REAL throughput multiple instead of drowning in
+    per-job constants (the 100k point's failure mode)."""
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+    bdir = _index_cache_dir("synth1m_v2", "base")
+    if not _is_built(bdir):
+        synth_uint8_base(spark, n=1_000_000).select("id", "emb").write.mode(
+            "overwrite"
+        ).parquet(bdir)
+    return spark.read.parquet(bdir)
+
+
+def _ivfsq_1m(spark: SparkSession):
+    """Build-once (faiss protocol: coarse quantizer trained on a 100k
+    sample, everything assigned) and load the 1M IVF(256)+SQ8 index.
+    Returns (entries, centroids, vmin, vmax, out_dir).
+
+    _g2: integer-snapped lossless grid (train_sq snap_integer) +
+    the deterministic driver-side coarse trainer (coarse="numpy" on the
+    id-ordered sample) — MLlib's limit()-sampled clustering varied
+    across rebuilds, which silently shifted partial-probe recall."""
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
+
+    base = _synth1m_base(spark)
+    out = _index_cache_dir("synth1m_v2", "ivfsq256_g2")
+    if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
+        entries, centroids, vmin, vmax = build_ivfsq(
+            base, nlist=256, max_iter=16, train_rows=100_000, coarse="numpy"
+        )
+        save_ivfsq(entries, centroids, vmin, vmax, out)
+    return (*load_ivfsq(spark, out), out)
+
+
+# ------------------------------------------------------------- 10M fixture
+
+_10M_N = 10_000_000
+_10M_NLIST = 3200  # √N rule (√10M ≈ 3162; the reference's IVF16384 at 100M-class)
+
+
+def _synth10m_base(spark: SparkSession) -> DataFrame:
+    """Stage (once) and load the 10M × 192-d v2 fixture — the OOD
+    track's own scale (text2image-10M).  Exact anchor ≈ 7.9 Tflop per
+    2048-query batch."""
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+    bdir = _index_cache_dir("synth10m_v2", "base")
+    if not _is_built(bdir):
+        synth_uint8_base(spark, n=_10M_N).select("id", "emb").write.mode(
+            "overwrite"
+        ).parquet(bdir)
+    return spark.read.parquet(bdir)
+
+
+def _ivfsq_10m(spark: SparkSession):
+    """Build-once/load the 10M IVF(3200)+SQ8 index.  The coarse quantizer
+    trains driver-side (coarse="numpy", blocked f32 BLAS over a 200k
+    sample — MLlib's scalar loops need minutes per iteration at √N-rule
+    list counts where the BLAS block needs ~1 s); assignment of the full
+    10M rows is one distributed Arrow pass."""
+    from filter_vectordb_spark.index.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
+
+    base = _synth10m_base(spark)
+    out = _index_cache_dir("synth10m_v2", f"ivfsq{_10M_NLIST}_g1")
+    if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
+        entries, centroids, vmin, vmax = build_ivfsq(
+            base, nlist=_10M_NLIST, max_iter=10, train_rows=200_000, coarse="numpy"
+        )
+        save_ivfsq(entries, centroids, vmin, vmax, out)
+    return (*load_ivfsq(spark, out), out)
+
+
+def _gt_kth_10m(spark: SparkSession) -> "object":
+    """Stage (once) the true 10th-best IP score for every 32nd OOD query
+    (256 sampled queries — VERDICT r7 #3 widened the denominator from
+    64) — the tie-aware recall denominator, recomputed in numpy from the
+    closed-form generators (base: synth_uint8_base's pattern; queries:
+    sources/synth.ood_matrix — the distribution-shifted set, VERDICT r7
+    #1) and cached as parquet.  f32 GEMM is exact here: base ≤ 250,
+    query ≤ 253, 192-dim partial sums < 2²⁴."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    out = _index_cache_dir("synth10m_v2", "gt_ood_kth_nq256")
+    path = os.path.join(out, "gt.parquet")
+    if not os.path.exists(path):
+        from filter_vectordb_spark.index.ivfsq import driver_blas
+        from filter_vectordb_spark.sources.synth import ood_matrix
+
+        os.makedirs(out, exist_ok=True)
+        K1, K3 = 2654435761, 2246822519
+        js = np.arange(192, dtype=np.int64)
+
+        def emb(ids):
+            return (
+                (((ids[:, None] * K1) ^ ((js[None, :] + 1) * K3)) >> 11) % 251
+            ).astype(np.float32)
+
+        qids = np.arange(0, 8192, 32, dtype=np.int64)
+        Q = ood_matrix(qids).astype(np.float32)
+        best = None
+        with driver_blas(os.cpu_count() or 8):
+            for lo in range(0, _10M_N, 250_000):
+                ids = np.arange(lo, lo + 250_000, dtype=np.int64)
+                G = Q @ emb(ids).T
+                p = np.argpartition(-G, 10, axis=1)[:, :10]
+                d = np.take_along_axis(G, p, axis=1)
+                best = d if best is None else np.concatenate([best, d], axis=1)
+        kth = -np.partition(-best, 9, axis=1)[:, 9]
+        tmp = path + ".tmp"
+        pd.DataFrame({"qid": qids, "kth": kth.astype(np.float64)}).to_parquet(tmp)
+        os.replace(tmp, path)
+    return __import__("pandas").read_parquet(path)
+
+
+# ----------------------------------------------------- sparse 1M fixture
+
+SPARSE1M_N = 1_000_000
+SPARSE1M_NNZ = 120  # the SPLADE document profile (~120 nnz/doc)
+SPARSE1M_Q_NNZ = 32
+SPARSE1M_NQ = 1_024
+
+
+def _synth_sparse1m_terms_dir(spark: SparkSession) -> str:
+    """Stage (once) the 1M-doc / 30k-dim / 120-nnz SPLADE-shaped sparse
+    corpus (~120M long-form rows) and return its parquet dir.
+
+    Segment layout IS the index (sparse_topk_sharded's fast path):
+    repartitionByRange(id) makes every file a CONTIGUOUS-id slice of
+    complete documents (dense doc index = id − min, no per-task
+    factorize), and sortWithinPartitions(term) stores each segment
+    term-sorted so posting lists are binary-searchable ranges with no
+    per-task argsort — profiled: the in-kernel 3.7M-row sort cost more
+    than the whole scoring under 32-way memory contention.  This is
+    build-time work by design: the reference's linscan builds its
+    inverted index once too (BASELINE QPS excludes build)."""
+    from filter_vectordb_spark.sources.synth import synth_sparse_terms
+
+    out = _index_cache_dir("sparse1m_v1", "terms_v2")
+    if not _is_built(out):
+        synth_sparse_terms(spark, n=SPARSE1M_N, nnz=SPARSE1M_NNZ).repartitionByRange(
+            32, "id"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _synth_sparse1m_queries(spark: SparkSession) -> DataFrame:
+    """Stage (once) the 1,024-query / ~32-nnz sparse batch."""
+    from filter_vectordb_spark.sources.synth import synth_sparse_queries
+
+    out = _index_cache_dir("sparse1m_v1", "queries")
+    if not _is_built(out):
+        synth_sparse_queries(spark, nq=SPARSE1M_NQ, nnz=SPARSE1M_Q_NNZ).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return spark.read.parquet(out)
+
+
+# ----------------------------------------------------- msturing-1M fixture
+
+
+def _synth_msturing1m_clustered(spark: SparkSession) -> tuple[DataFrame, str]:
+    """Stage (once) the CLUSTER-PERMUTED msturing-1M corpus plus its
+    delete-runbook YAML; returns (base(id, emb), runbook_path).
+
+    BASELINE row 4's shape (VERDICT r7 #4): the reference's
+    msturing-10M-clustered delete_runbook interleaves cluster inserts
+    with range deletes under a capacity cap so consolidation fires
+    repeatedly (`streaming/delete_runbook.yaml`).  Here: 8 k-means
+    clusters (deterministic driver-side trainer), cluster-contiguous
+    reindex (streaming/clustered.cluster_permutation — the generator's
+    offsets/counters permutation), and generate_delete_runbook's fixed
+    insert/delete/search interleave with max_pts = 3/4 of the corpus."""
+    import os
+
+    from filter_vectordb_spark.index.ivf import build_ivf
+    from filter_vectordb_spark.streaming.clustered import (
+        cluster_permutation,
+        generate_delete_runbook,
+    )
+
+    out = _index_cache_dir("msturing1m_v2", "clustered_base")
+    # the yaml lives BESIDE the parquet dir — Spark's parquet reader
+    # lists every non-underscore file in its directory
+    ydir = _index_cache_dir("msturing1m_v2", "clustered_runbook")
+    ypath = os.path.join(ydir, "delete_runbook.yaml")
+    if not (_is_built(out) and os.path.exists(ypath)):
+        os.makedirs(ydir, exist_ok=True)
+        src = _synth_msturing1m(spark).filter(F.col("id") < 1_000_000)
+        assignments, _ = build_ivf(
+            src, nlist=8, max_iter=8, train_rows=100_000, coarse="numpy"
+        )
+        labeled = assignments.withColumnRenamed("centroid_id", "label")
+        permuted, offsets = cluster_permutation(labeled)
+        permuted.select(F.col("new_id").alias("id"), "emb").repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(out)
+        tmp = ypath + ".tmp"
+        generate_delete_runbook(offsets, tmp, dataset="msturing-1m-clustered")
+        os.replace(tmp, ypath)
+    return spark.read.parquet(out), ypath
+
+
+def _synth_msturing1m(spark: SparkSession) -> DataFrame:
+    """Stage (once) the msturing-shaped 1M × 100-d fixture plus 8,192
+    query rows (ids ≥ 1M relabel as qids — distinct from every corpus
+    row by construction).  msturing is 100-d; integer values keep every
+    checkpoint search f32-exact (knn_join contract)."""
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+
+    out = _index_cache_dir("msturing1m_v2", "base")
+    if not _is_built(out):
+        synth_uint8_base(spark, n=1_008_192, d=100).select("id", "emb").write.mode(
+            "overwrite"
+        ).parquet(out)
+    return spark.read.parquet(out)

@@ -1,6 +1,7 @@
 """bench-honesty scale points: 100k/1M/10M fixtures, OOD serving, msturing-1M replay, recall/QPS curves (registered queries + DuckDB oracles).
 
-Split out of the monolithic registry (VERDICT r6 #8); see
+Split out of the monolithic registry (VERDICT r6 #8); fixture staging
+lives in filter_vectordb_spark.queries.fixtures (VERDICT r7 #8); see
 filter_vectordb_spark.queries.core for the shared registry surface.
 """
 
@@ -13,6 +14,17 @@ from filter_vectordb_spark.queries.core import (
     _index_cache_dir,
     _is_built,
     register,
+)
+from filter_vectordb_spark.queries.fixtures import (
+    _gt_kth_10m,
+    _ivfsq_1m,
+    _ivfsq_10m,
+    _synth1m_base,
+    _synth10m_base,
+    _synth100k_base,
+    _synth_msturing1m,
+    _synth_ood_queries_staged,
+    _synth_queries_staged,
 )
 
 @register("filtered_knn_100k")  # bench-scale point — rows-only (oracle infeasible at 1024×100k)
@@ -106,29 +118,6 @@ def filtered_knn_100k_nq32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth100k_base(spark: SparkSession) -> DataFrame:
-    """Stage (once) and load the 100k × 192-d v2 fixture as (id, emb)."""
-    from filter_vectordb_spark.sources.synth import synth_uint8_base
-
-    out = _index_cache_dir("synth100k_v2", "base")
-    if not _is_built(out):
-        synth_uint8_base(spark).select("id", "emb").write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
-
-
-def _synth_queries_staged(spark: SparkSession, nq: int) -> DataFrame:
-    """Stage (once) and load a synth query batch — the reference reads
-    its query set from a file, it does not regenerate it per run
-    (`filter/run.py:10-12`); regenerating via the 32-task mapInPandas
-    job cost ~3.7 s per measured run at nq=2048, pure fixture overhead."""
-    from filter_vectordb_spark.sources.synth import synth_queries
-
-    out = _index_cache_dir("synth100k_v2", f"queries_nq{nq}")
-    if not _is_built(out):
-        synth_queries(spark, nq=nq).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
-
-
 @register("knn_ip_100k")  # bench-scale point — rows-only (oracle infeasible at this size)
 def knn_ip_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-honesty point for BASELINE row 3 (OOD track: DiskANN at
@@ -142,29 +131,13 @@ def knn_ip_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     point inside the bench's wall budget; QPS is nq/t and per-batch
     constants are already amortized at this size (docs/RESULTS_r2.md)."""
     from filter_vectordb_spark.operators.knn import knn_join
-    from filter_vectordb_spark.sources.synth import synth_queries
 
     base = _synth100k_base(spark)
     q = _synth_queries_staged(spark, nq=2048).select("qid", "qemb")
     return knn_join(
-        q, base, 10, metric="ip", strategy="vectorized", compute_dtype="float32"
+        q, base, 10, metric="ip", strategy="vectorized", compute_dtype="float32",
+        base_dir=_index_cache_dir("synth100k_v2", "base"),
     ).select("qid", "rank", "id")
-
-
-def _synth1m_base(spark: SparkSession) -> DataFrame:
-    """Stage (once) and load the 1M × 192-d v2 fixture — 10× the 100k
-    point, one decade below the OOD track's text2image-10M.  At this
-    size the exact scan is ~79 Gflop per 2k-query batch, so a sub-linear
-    index path shows a REAL throughput multiple instead of drowning in
-    per-job constants (the 100k point's failure mode)."""
-    from filter_vectordb_spark.sources.synth import synth_uint8_base
-
-    bdir = _index_cache_dir("synth1m_v2", "base")
-    if not _is_built(bdir):
-        synth_uint8_base(spark, n=1_000_000).select("id", "emb").write.mode(
-            "overwrite"
-        ).parquet(bdir)
-    return spark.read.parquet(bdir)
 
 
 @register("knn_ip_1m")  # bench-scale point — rows-only (oracle infeasible at this size)
@@ -174,35 +147,16 @@ def knn_ip_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~79 Gflop per run.  The small twin (knn_ip) is fully oracle-checked;
     knn_ip_1m_ivfsq is the sub-linear serving path this anchors."""
     from filter_vectordb_spark.operators.knn import knn_join
-    from filter_vectordb_spark.sources.synth import synth_queries
 
     base = _synth1m_base(spark)
     q = _synth_queries_staged(spark, nq=2048).select("qid", "qemb")
-    # float32 BLAS is EXACT on this integer-valued corpus (see knn_join)
+    # float32 BLAS is EXACT on this integer-valued corpus (see knn_join);
+    # base_dir routes the scan through the direct pyarrow read — the
+    # anchor was Arrow-transfer-bound, not FLOP-bound (VERDICT r7 #3)
     return knn_join(
-        q, base, 10, metric="ip", strategy="vectorized", compute_dtype="float32"
+        q, base, 10, metric="ip", strategy="vectorized", compute_dtype="float32",
+        base_dir=_index_cache_dir("synth1m_v2", "base"),
     ).select("qid", "rank", "id")
-
-
-def _ivfsq_1m(spark: SparkSession):
-    """Build-once (faiss protocol: coarse quantizer trained on a 100k
-    sample, everything assigned) and load the 1M IVF(256)+SQ8 index.
-    Returns (entries, centroids, vmin, vmax, out_dir).
-
-    _g2: integer-snapped lossless grid (train_sq snap_integer) +
-    the deterministic driver-side coarse trainer (coarse="numpy" on the
-    id-ordered sample) — MLlib's limit()-sampled clustering varied
-    across rebuilds, which silently shifted partial-probe recall."""
-    from filter_vectordb_spark.index.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
-
-    base = _synth1m_base(spark)
-    out = _index_cache_dir("synth1m_v2", "ivfsq256_g2")
-    if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
-        entries, centroids, vmin, vmax = build_ivfsq(
-            base, nlist=256, max_iter=16, train_rows=100_000, coarse="numpy"
-        )
-        save_ivfsq(entries, centroids, vmin, vmax, out)
-    return (*load_ivfsq(spark, out), out)
 
 
 # DuckDB twin of the 1M serving path at nq=8: regenerates the closed-form
@@ -212,10 +166,15 @@ def _ivfsq_1m(spark: SparkSession):
 # join-on-(qid,id) shape materializes 1.5B rows and measured 151 s where
 # this measures ~24 s.
 _NQ8 = 8
-_IP_1M_NQ8_ORACLE = f"""
+
+
+def _ip_1m_nq8_oracle(eq_value_sql: str) -> str:
+    """The pivoted 1M IP oracle with a pluggable query-side generator
+    (`eq_value_sql` computes v from i.range [qid] and j.range [dim]) —
+    shared by the in-distribution and OOD nq=8 twins."""
+    return f"""
 WITH eq AS (
-  SELECT i.range AS qid, j.range AS j,
-         ((xor(i.range*2654435761, (j.range+1)*2246822519)) >> 11) % 251 AS v
+  SELECT i.range AS qid, j.range AS j, {eq_value_sql} AS v
   FROM range({_NQ8}) i, range(192) j
 ),
 eqp AS (SELECT j, {", ".join(f"MAX(CASE WHEN qid={q} THEN v END) AS q{q}" for q in range(_NQ8))}
@@ -236,6 +195,18 @@ r AS (SELECT qid, id, dist,
 SELECT qid, CAST(rank AS INT) AS rank, id, CAST(dist AS BIGINT) AS dist
 FROM r WHERE rank <= 10
 """
+
+
+_IP_1M_NQ8_ORACLE = _ip_1m_nq8_oracle(
+    "((xor(i.range*2654435761, (j.range+1)*2246822519)) >> 11) % 251"
+)
+
+# OOD query-side twin (sources/synth.ood_matrix's closed form):
+# v = (7j)%64 + ((qid·K4 ^ (j+1)·K5) >> 9) % (64 + (13j)%128)
+_IP_1M_NQ8_OOD_ORACLE = _ip_1m_nq8_oracle(
+    "(7*j.range)%64 + ((xor(i.range*3266489917, (j.range+1)*668265263)) >> 9)"
+    " % (64 + (13*j.range)%128)"
+)
 
 
 @register("knn_ip_1m_nq8", _IP_1M_NQ8_ORACLE)
@@ -261,6 +232,30 @@ def knn_ip_1m_nq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _synth_queries_staged(spark, nq=2048).filter(F.col("qid") < _NQ8).select(
         "qid", "qemb"
     )
+    return ivfsq_search(
+        q, entries, centroids, vmin, vmax, base, 10, nprobe=256, refine=32,
+        metric="ip", entries_dir=f"{out}/entries", exact_codes=True,
+    ).select("qid", "rank", "id", F.col("dist").cast("long").alias("dist"))
+
+
+@register("knn_ip_1m_nq8_ood", _IP_1M_NQ8_OOD_ORACLE)
+def knn_ip_1m_nq8_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED twin of the OOD serving workload (VERDICT r7 #1):
+    8 distribution-shifted queries (synth_ood_queries — different hash
+    family, per-dim shifted/scaled marginals, qids ∉ corpus) through
+    the same IVF(256)+SQ8 direct-read exact_codes route, full probe.
+    The DuckDB oracle regenerates BOTH generators closed-form, so this
+    row value-checks the OOD query pipeline end-to-end (staging →
+    probe ranking → scan → merge) where the 10M OOD points are
+    necessarily rows-only.  OOD components are ≤ 253 integers, so IP
+    stays integer-exact; cast BIGINT both sides."""
+    from filter_vectordb_spark.index.ivfsq import ivfsq_search
+
+    base = _synth1m_base(spark)
+    entries, centroids, vmin, vmax, out = _ivfsq_1m(spark)
+    q = _synth_ood_queries_staged(spark, nq=8192).filter(
+        F.col("qid") < _NQ8
+    ).select("qid", "qemb")
     return ivfsq_search(
         q, entries, centroids, vmin, vmax, base, 10, nprobe=256, refine=32,
         metric="ip", entries_dir=f"{out}/entries", exact_codes=True,
@@ -295,29 +290,30 @@ def knn_ip_1m_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ 10M OOD operating points
-# VERDICT r6 #1: the one remaining weak row was the OOD absolute QPS —
-# BASELINE row 3 is DiskANN at 4,882 QPS @ ≥90% recall on
-# text2image-10M, and r6's 4M fixture left the comparison cross-scale.
-# 10M × 192-d uint8 (~7.7 GB of int32 parquet) is the SAME row count as
-# the published number; the exact anchor's wall grows ∝N while the
-# serving pipeline's stays nearly fixed, so the multiple over the anchor
-# is now read at the baseline's own scale.  The serving pipeline itself
-# lost its second Spark job this round (ivfsq_search exact_codes now
-# merges the bounded per-task partials driver-side — VERDICT r6 #1b) and
-# ranks probes in f32, so the per-batch floor is one scan job + ~0.1 s
-# of driver work.
+# VERDICT r6 #1 brought these to the baseline's own 10M scale; VERDICT
+# r7 #1 re-gated them on a genuinely out-of-distribution query batch —
+# the previous queries were the first 8,192 base vectors themselves,
+# maximally in-distribution.  The OOD set (synth_ood_queries: different
+# hash family, per-dim shifted/scaled marginals, qids ∉ corpus) is the
+# text2image-shaped workload BASELINE row 3 actually publishes: DiskANN
+# 4,882 QPS @ ≥0.9 recall, operating point picked as the smallest Ls
+# clearing the gate (`ood/diskann/config.yaml:13-27`).
+#
+# Measured outcome of the re-gate (256-sample GT, the r7 #3 widening):
+# the knee DID NOT move — nprobe=1 → 0.5062, nprobe=2 → 0.9699,
+# nprobe=4 → 1.0000 (vs 0.5672 / 0.9656 / 1.0000 on the in-dist set).
+# The r7 suspicion ("queries rank exactly the lists their neighbors
+# live in because they ARE corpus rows") turns out not to be the
+# mechanism: under MIPS the true top-10 of ANY query direction
+# concentrate in the few highest-norm lists (the same 2-of-3200 skew
+# the hot-list slicing absorbs), so centroid-IP ranking finds them at
+# tiny nprobe regardless of where the query comes from.  The gate is
+# now measured on the honest workload either way.
 
-_10M_N = 10_000_000
-_10M_NLIST = 3200  # √N rule (√10M ≈ 3162; the reference's IVF16384 at 100M-class)
-_10M_NPROBE_HI = 4  # measured recall 1.0000 (ood_recall_curve_10m), ≤0.125% scanned
-_10M_NPROBE_LO = 2  # measured recall 0.9656 — the SMALLEST grid point
-# clearing the 0.9 gate, the reference's own selection rule (DiskANN
-# picks the smallest Ls whose recall clears 0.9,
-# `ood/diskann/config.yaml:13-27`).  The knee is real and sharp at this
-# scale: nprobe=1 measures 0.5672 — see the persisted curve artifact.
-# Tiny nprobe values suffice because IP centroid ranking concentrates
-# both queries AND their true neighbors into the same few high-norm
-# lists (the same skew the hot-list query slicing absorbs).
+_10M_NPROBE_HI = 4  # measured recall 1.0000 on the OOD set (curve above)
+_10M_NPROBE_LO = 2  # the SMALLEST grid point clearing the 0.9 gate on
+# the OOD set — measured recall 0.9699.  See the persisted curve
+# artifact (ood_recall_curve_10m) for the grid.
 _10M_REFINE = 16  # tie-slack width of the per-task partials (exact_codes
 # mode — scores are exact, refine only guards k-th-place ties); 16 keeps
 # the driver merge at ≤ nq×nprobe×16 rows, a few MB
@@ -326,54 +322,27 @@ _10M_NQ = 8_192  # serving batch: amortizes the per-batch fixed costs so
 # nq=2048 exact anchor compares directly)
 
 
-def _synth10m_base(spark: SparkSession) -> DataFrame:
-    """Stage (once) and load the 10M × 192-d v2 fixture — the OOD
-    track's own scale (text2image-10M).  Exact anchor ≈ 7.9 Tflop per
-    2048-query batch."""
-    from filter_vectordb_spark.sources.synth import synth_uint8_base
-
-    bdir = _index_cache_dir("synth10m_v2", "base")
-    if not _is_built(bdir):
-        synth_uint8_base(spark, n=_10M_N).select("id", "emb").write.mode(
-            "overwrite"
-        ).parquet(bdir)
-    return spark.read.parquet(bdir)
-
-
-def _ivfsq_10m(spark: SparkSession):
-    """Build-once/load the 10M IVF(3200)+SQ8 index.  The coarse quantizer
-    trains driver-side (coarse="numpy", blocked f32 BLAS over a 200k
-    sample — MLlib's scalar loops need minutes per iteration at √N-rule
-    list counts where the BLAS block needs ~1 s); assignment of the full
-    10M rows is one distributed Arrow pass."""
-    from filter_vectordb_spark.index.ivfsq import build_ivfsq, load_ivfsq, save_ivfsq
-
-    base = _synth10m_base(spark)
-    out = _index_cache_dir("synth10m_v2", f"ivfsq{_10M_NLIST}_g1")
-    if not _is_built(f"{out}/entries", f"{out}/centroids", f"{out}/grid"):
-        entries, centroids, vmin, vmax = build_ivfsq(
-            base, nlist=_10M_NLIST, max_iter=10, train_rows=200_000, coarse="numpy"
-        )
-        save_ivfsq(entries, centroids, vmin, vmax, out)
-    return (*load_ivfsq(spark, out), out)
-
-
 @register("knn_ip_10m")  # bench-scale point — rows-only (oracle infeasible at this size)
 def knn_ip_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ground-truth anchor at 10M × 192-d: 1,024 dense IP queries
-    through the vectorized BLAS kernel — recall 1.0 by construction,
-    ~3.9 Tflop per run (QPS is nq-normalized, so the batch size only
-    sets how long the anchor takes to measure — per-query work is
-    nq-independent for a full scan, and 1,024 already amortizes the
-    per-job constants to noise at this runtime).  The serving points
-    below are gated against it."""
+    """Exact ground-truth anchor at 10M × 192-d: 1,024 OOD dense IP
+    queries through the vectorized BLAS kernel — recall 1.0 by
+    construction, ~3.9 Tflop per run (QPS is nq-normalized, so the
+    batch size only sets how long the anchor takes to measure —
+    per-query work is nq-independent for a full scan, and 1,024 already
+    amortizes the per-job constants to noise at this runtime).  The
+    serving points below are gated against it; same OOD workload, so
+    the serving multiple is like-for-like."""
     from filter_vectordb_spark.operators.knn import knn_join
 
     base = _synth10m_base(spark)
-    q = _synth_queries_staged(spark, nq=1024).select("qid", "qemb")
-    # float32 BLAS is EXACT on this integer-valued corpus (see knn_join)
+    q = _synth_ood_queries_staged(spark, nq=8192).filter(
+        F.col("qid") < 1024
+    ).select("qid", "qemb")
+    # float32 BLAS is EXACT on this integer-valued corpus (see knn_join);
+    # direct pyarrow read of the staged files (VERDICT r7 #3)
     return knn_join(
-        q, base, 10, metric="ip", strategy="vectorized", compute_dtype="float32"
+        q, base, 10, metric="ip", strategy="vectorized", compute_dtype="float32",
+        base_dir=_index_cache_dir("synth10m_v2", "base"),
     ).select("qid", "rank", "id")
 
 
@@ -382,7 +351,7 @@ def _knn_ip_10m_served(spark: SparkSession, nprobe: int) -> DataFrame:
 
     base = _synth10m_base(spark)
     entries, centroids, vmin, vmax, out = _ivfsq_10m(spark)
-    q = _synth_queries_staged(spark, nq=_10M_NQ).select("qid", "qemb")
+    q = _synth_ood_queries_staged(spark, nq=_10M_NQ).select("qid", "qemb")
     return ivfsq_search(
         q, entries, centroids, vmin, vmax, base, 10, nprobe=nprobe,
         refine=_10M_REFINE, metric="ip", entries_dir=f"{out}/entries",
@@ -392,12 +361,13 @@ def _knn_ip_10m_served(spark: SparkSession, nprobe: int) -> DataFrame:
 
 @register("knn_ip_10m_ivfsq")  # bench-scale point — rows-only (approximate by design)
 def knn_ip_10m_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-recall serving point at the baseline's own scale:
-    IVF(3200)+SQ8 over 10M rows, nprobe=4 (≤0.125% of the corpus scanned
-    as 1-byte codes, exact lossless-code scores, single-stage driver
-    merge, hot-list query slicing) — measured recall 1.0000.  QPS and
-    the multiple over the exact anchor are recorded per bench round vs
-    BASELINE row 3's 4,882 QPS @ 10M.  Recall pinned in
+    """High-recall serving point at the baseline's own scale AND
+    workload shape: IVF(3200)+SQ8 over 10M rows, OOD query batch,
+    nprobe=4 (≤0.125% of the corpus scanned as 1-byte codes, exact
+    lossless-code scores, single-stage driver merge, hot-list query
+    slicing) — measured recall 1.0000 on the OOD set's 256-query GT.
+    QPS and the multiple over the exact anchor are recorded per bench
+    round vs BASELINE row 3's 4,882 QPS @ 10M.  Recall pinned in
     tests/test_sq.py::test_ivfsq_ip_10m_recall; the measured recall/QPS
     grid is ood_recall_curve_10m."""
     return _knn_ip_10m_served(spark, _10M_NPROBE_HI)
@@ -406,58 +376,22 @@ def knn_ip_10m_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_ip_10m_ivfsq_lo")  # bench-scale point — rows-only (approximate by design)
 def knn_ip_10m_ivfsq_lo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The baseline-gate serving point at 10M: the smallest nprobe grid
-    point clearing the 0.9 recall gate — the reference's own operating
-    discipline (DiskANN picks the smallest Ls whose recall clears 0.9,
-    `ood/diskann/config.yaml:13-27`).  Recall ≥ 0.9 pytest-pinned; the
-    knee below it is measured, not asserted — see ood_recall_curve_10m."""
+    point clearing the 0.9 recall gate ON THE OOD QUERY SET — the
+    reference's own operating discipline (DiskANN picks the smallest Ls
+    whose recall clears 0.9, `ood/diskann/config.yaml:13-27`).  Recall
+    ≥ 0.9 pytest-pinned; the knee below it is measured, not asserted —
+    see ood_recall_curve_10m."""
     return _knn_ip_10m_served(spark, _10M_NPROBE_LO)
-
-
-def _gt_kth_10m(spark: SparkSession) -> "object":
-    """Stage (once) the true 10th-best IP score for every 32nd query
-    (64 sampled queries) — the tie-aware recall denominator, recomputed
-    in numpy from the closed-form generator and cached as parquet.
-    f32 GEMM is exact here (integer values, sums < 2²⁴)."""
-    import os
-
-    import numpy as np
-    import pandas as pd
-
-    out = _index_cache_dir("synth10m_v2", "gt_kth_nq64")
-    path = os.path.join(out, "gt.parquet")
-    if not os.path.exists(path):
-        os.makedirs(out, exist_ok=True)
-        K1, K3 = 2654435761, 2246822519
-        js = np.arange(192, dtype=np.int64)
-
-        def emb(ids):
-            return (
-                (((ids[:, None] * K1) ^ ((js[None, :] + 1) * K3)) >> 11) % 251
-            ).astype(np.float32)
-
-        qids = np.arange(0, 2048, 32, dtype=np.int64)
-        Q = emb(qids)
-        best = None
-        for lo in range(0, _10M_N, 250_000):
-            ids = np.arange(lo, lo + 250_000, dtype=np.int64)
-            G = Q @ emb(ids).T
-            p = np.argpartition(-G, 10, axis=1)[:, :10]
-            d = np.take_along_axis(G, p, axis=1)
-            best = d if best is None else np.concatenate([best, d], axis=1)
-        kth = -np.partition(-best, 9, axis=1)[:, 9]
-        tmp = path + ".tmp"
-        pd.DataFrame({"qid": qids, "kth": kth.astype(np.float64)}).to_parquet(tmp)
-        os.replace(tmp, path)
-    return __import__("pandas").read_parquet(path)
 
 
 @register("ood_recall_curve_10m")  # rows-only: QPS is wall-clock, inherently non-oracle-able
 def ood_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The OOD track's figure of merit at the baseline's own 10M scale:
-    tie-aware recall@10 + QPS per nprobe grid point through the
-    direct-read serving path, persisted Parquet + CSV like the 100k
-    curve.  Recall is measured against the staged numpy ground truth
-    (every 32nd query; a returned id counts when its TRUE score
+    """The OOD track's figure of merit at the baseline's own 10M scale,
+    on the distribution-shifted query set (VERDICT r7 #1): tie-aware
+    recall@10 + QPS per nprobe grid point through the direct-read
+    serving path, persisted Parquet + CSV like the 100k curve.  Recall
+    is measured against the staged numpy ground truth (256 sampled OOD
+    queries — VERDICT r7 #3; a returned id counts when its TRUE score
     ties-or-beats the true 10th — big-ann-benchmarks' convention);
     QPS = nq/wall per point, best of 1 (the bench's ALWAYS_RERUN
     covers the registered operating points)."""
@@ -470,7 +404,7 @@ def ood_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _synth10m_base(spark)
     entries, centroids, vmin, vmax, out = _ivfsq_10m(spark)
-    q = _synth_queries_staged(spark, nq=_10M_NQ).select("qid", "qemb")
+    q = _synth_ood_queries_staged(spark, nq=_10M_NQ).select("qid", "qemb")
     gt = _gt_kth_10m(spark)
     kth = dict(zip(gt["qid"].astype(int), gt["kth"]))
     records = []
@@ -505,21 +439,6 @@ def ood_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- reference-scale streaming point
-
-
-def _synth_msturing1m(spark: SparkSession) -> DataFrame:
-    """Stage (once) the msturing-shaped 1M × 100-d fixture plus 8,192
-    query rows (ids ≥ 1M relabel as qids — distinct from every corpus
-    row by construction).  msturing is 100-d; integer values keep every
-    checkpoint search f32-exact (knn_join contract)."""
-    from filter_vectordb_spark.sources.synth import synth_uint8_base
-
-    out = _index_cache_dir("msturing1m_v2", "base")
-    if not _is_built(out):
-        synth_uint8_base(spark, n=1_008_192, d=100).select("id", "emb").write.mode(
-            "overwrite"
-        ).parquet(out)
-    return spark.read.parquet(out)
 
 
 @register("streaming_replay_1m")  # bench-scale point — rows-only (oracle infeasible at 1M)
@@ -558,6 +477,34 @@ def streaming_replay_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_replay_1m_clustered")  # bench-scale point — rows-only (oracle infeasible at 1M)
+def streaming_replay_1m_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE row 4's pattern at 1M scale (VERDICT r7 #4): the
+    msturing-CLUSTERED delete_runbook — cluster-contiguous inserts
+    interleaved with range deletes and searches under a max_pts cap set
+    to 3/4 of the corpus, so ST4 threshold consolidation fires
+    REPEATEDLY during the replay (the simple-runbook replay never
+    pressures it; the reference's 10M row runs this pattern at 0.924
+    recall in ~23 min, `README.md:44`).  Exact search at every
+    checkpoint → recall 1.0 by construction; the bench records total
+    wall.  4 checkpoints × 2,048 queries; consolidation-trigger and
+    tombstone-absence invariants are pytest-pinned at small scale on
+    the same generator + replayer
+    (tests/test_streaming.py::test_delete_runbook_consolidation_pressure)."""
+    from filter_vectordb_spark.queries.fixtures import _synth_msturing1m_clustered
+    from filter_vectordb_spark.streaming.runbook import parse_runbook_yaml, replay
+
+    base, ypath = _synth_msturing1m_clustered(spark)
+    src = _synth_msturing1m(spark)
+    q = src.filter(F.col("id").between(1_000_000, 1_002_047)).select(
+        (F.col("id") - 1_000_000).alias("qid"), F.col("emb").alias("qemb")
+    )
+    rb = parse_runbook_yaml(ypath, "msturing-1m-clustered")
+    return replay(spark, base, rb, q, k=10, compute_dtype="float32").select(
+        "checkpoint", "qid", "rank", "id"
+    )
+
+
 @register("sparse_mips_100k")  # bench-scale point — rows-only (oracle infeasible at this size)
 def sparse_mips_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-honesty point for BASELINE row 2 (sparse track: linscan at
@@ -576,6 +523,30 @@ def sparse_mips_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = synth_sparse_terms(spark)
     q = synth_sparse_queries(spark)
     return sparse_topk(q, d, 10).select("qid", "rank", "id")
+
+
+@register("sparse_mips_1m")  # bench-scale point — rows-only (oracle infeasible at this size)
+def sparse_mips_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE row 2 within one decade of the reference's corpus size
+    (VERDICT r7 #5): 1,024 sparse queries (~32 nnz) against a staged
+    1M-doc / 30k-dim / ~120-nnz SPLADE-profile corpus (linscan serves
+    8.84M MSMARCO-SPLADE docs at 101 QPS on 8 vCPUs) through the
+    doc-sharded segment scan (sparse_topk_sharded): one task per
+    staged segment file computes full scores for ITS docs and ships
+    only nq×k partials — the join-aggregate plan's ~10⁸-row shuffle
+    never materializes.  Exact integer scores, recall 1.0 vs the
+    track's 0.9 gate; the small twins (sparse_mips*) are oracle-checked
+    and sparse_topk_sharded carries a parity pytest against sparse_topk
+    on a shared fixture."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk_sharded
+    from filter_vectordb_spark.queries.fixtures import (
+        _synth_sparse1m_queries,
+        _synth_sparse1m_terms_dir,
+    )
+
+    tdir = _synth_sparse1m_terms_dir(spark)
+    q = _synth_sparse1m_queries(spark)
+    return sparse_topk_sharded(spark, tdir, q, 10).select("qid", "rank", "id")
 
 
 # -------------------------------------------------- recall-vs-QPS curve (§2.10)
@@ -696,5 +667,3 @@ def recall_qps_curve_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     records = run_benchmark(spark, _CURVE_100K_CONFIG, sf_dir, k=10)
     return write_curve(spark, records, dest)
-
-

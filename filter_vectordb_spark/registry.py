@@ -39,7 +39,7 @@ from filter_vectordb_spark.queries import scale  # noqa: E402,F401
 from filter_vectordb_spark.queries.events_streaming import (  # noqa: F401
     _runbook_checkpoint_intervals,
 )
-from filter_vectordb_spark.queries.scale import (  # noqa: F401
+from filter_vectordb_spark.queries.fixtures import (  # noqa: F401
     _gt_kth_10m,
     _ivfsq_1m,
     _ivfsq_10m,
@@ -47,6 +47,7 @@ from filter_vectordb_spark.queries.scale import (  # noqa: F401
     _synth10m_base,
     _synth100k_base,
     _synth_msturing1m,
+    _synth_ood_queries_staged,
     _synth_queries_staged,
 )
 

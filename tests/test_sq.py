@@ -355,17 +355,20 @@ def test_ivfsq_delegates_to_direct_read(tmp_path, spark, base, ivfsq, monkeypatc
 
 
 def test_ivfsq_ip_10m_recall(spark):
-    """The 10M operating-point pins (VERDICT r6 #1): both registered
-    serving points must clear their recall gates against the staged
-    numpy ground truth — "hi" ≥ 0.95, "lo" ≥ 0.9 (the baseline's own
-    gate).  Tie-aware: a returned id counts when its TRUE score
+    """The 10M operating-point pins (VERDICT r6 #1, re-gated on the OOD
+    query set with a 256-query GT denominator — VERDICT r7 #1/#3): both
+    registered serving points must clear their recall gates against the
+    staged numpy ground truth — "hi" ≥ 0.95, "lo" ≥ 0.9 (the baseline's
+    own gate).  Tie-aware: a returned id counts when its TRUE score
     ties-or-beats the true 10th score.  True scores of the returned ids
-    are recomputed from the closed-form generator (64 sampled queries ×
-    ≤10 ids — trivial)."""
+    are recomputed from the closed-form generators (corpus side: the v2
+    base pattern; query side: the OOD generator)."""
     from filter_vectordb_spark import registry
+    from filter_vectordb_spark.sources.synth import ood_matrix
 
     gt = registry._gt_kth_10m(spark)
     kth = dict(zip(gt["qid"].astype(int), gt["kth"]))
+    assert len(kth) >= 256, "GT denominator must be >= 256 sampled queries"
     K1, K3 = 2654435761, 2246822519
     js = np.arange(192, dtype=np.int64)
 
@@ -381,7 +384,7 @@ def test_ivfsq_ip_10m_recall(spark):
         for qid in kth:
             ids = res[res["qid"] == qid]["id"].to_numpy()
             assert len(ids) == K, (name, qid, len(ids))
-            scores = (emb(ids) @ emb([qid]).T).ravel()
+            scores = (emb(ids) @ ood_matrix([qid]).astype(np.float64).T).ravel()
             rec += (scores >= kth[qid]).sum() / K
         rec /= len(kth)
         assert rec >= floor, f"{name}: tie-aware recall@10 {rec:.4f} < {floor}"
