@@ -27,25 +27,39 @@ RUN_COUNT = int(os.environ.get("SPARK_GRAFT_RUN_COUNT", "2"))
 # the recorded number with no second chance.)
 RERUN_BELOW_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_BELOW_SEC", "20.0"))
 # the 100k/1M scale points amplify host-load noise (minutes of compute
-# in one job) — always take min-of-SCALE_RUN_COUNT for them even past
-# the threshold, and record every run so a regression is
-# distinguishable from one noisy window (VERDICT r4 #9)
-ALWAYS_RERUN = {
-    "filtered_knn_100k",
-    "sparse_mips_100k",
-    "knn_ip_1m",
-    "knn_ip_1m_ivfsq",
+# in one job) — always take min-of-N for them even past the threshold,
+# and record every run so a regression is distinguishable from one
+# noisy window (VERDICT r4 #9).  Per-name counts: the multi-job 1M
+# replays get min-of-2 (their 2x run-to-run spread needs a second
+# sample, but a third would cost ~a minute of the bounded bench wall
+# each — VERDICT r7 #7); the single-job scale points get min-of-3.
+SCALE_RUN_COUNT = int(os.environ.get("SPARK_GRAFT_SCALE_RUN_COUNT", "3"))
+# bail out of remaining reruns once a single run exceeds this: under a
+# host-load burst a 90s replay run means the reruns would cost minutes
+# of the bounded bench wall chasing a number the runs array already
+# shows is noisy (the r8 verify run died at the 580s cap exactly here)
+RERUN_HARD_STOP_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_HARD_STOP_SEC", "90.0"))
+RERUN_COUNTS = {
+    "filtered_knn_100k": SCALE_RUN_COUNT,
+    "sparse_mips_100k": SCALE_RUN_COUNT,
+    "knn_ip_1m": SCALE_RUN_COUNT,
+    "knn_ip_1m_ivfsq": SCALE_RUN_COUNT,
     # the 10M anchor (knn_ip_10m) is deliberately NOT here: one run is
-    # ~60 s of pure BLAS (7.9 Tflop), so min-of-3 would triple the bench
-    # wall for a number whose noise floor the 1M anchor already records;
-    # RERUN_BELOW_SEC keeps it single-run
-    "knn_ip_10m_ivfsq",
-    "knn_ip_10m_ivfsq_lo",
+    # ~30-60 s of pure BLAS (7.9 Tflop), so min-of-3 would triple the
+    # bench wall for a number whose noise floor the 1M anchor already
+    # records; RERUN_BELOW_SEC keeps it single-run
+    "knn_ip_10m_ivfsq": SCALE_RUN_COUNT,
+    "knn_ip_10m_ivfsq_lo": SCALE_RUN_COUNT,
     # multi-job replay: the only non-scale query whose +0.7s r5 wobble
     # had no runs array to prove it was host noise (VERDICT r5 #8)
-    "streaming_replay",
+    "streaming_replay": SCALE_RUN_COUNT,
+    # r7 recorded streaming_replay_1m single-run (49.98 s) against a
+    # 23-46 s warm dev spread — indistinguishable from regression;
+    # min-of-2 with the runs array recorded (VERDICT r7 #5 hygiene)
+    "streaming_replay_1m": 2,
+    # the 1M sparse segment scan: one scan job, ~25-35 s warm
+    "sparse_mips_1m": 2,
 }
-SCALE_RUN_COUNT = int(os.environ.get("SPARK_GRAFT_SCALE_RUN_COUNT", "3"))
 
 BENCH_QUERIES = [
     "knn_l2",
@@ -106,14 +120,20 @@ BENCH_QUERIES = [
     "streaming_dedup",
     "filtered_knn_100k",
     "sparse_mips_100k",
+    # BASELINE row 2 within a decade of the reference's corpus (VERDICT
+    # r7 #5): 1,024 queries against the staged 1M-doc SPLADE-profile
+    # corpus through the doc-sharded segment scan; min-of-2 recorded
+    "sparse_mips_1m",
     # the OOD pair (VERDICT r4 #1): exact 1M scan anchor vs the
     # sub-linear IVF+SQ8 serving path — adjacent so the throughput
     # multiple is read straight off the bench line; both best-of-3 with
     # per-run times recorded (see "runs" in the output)
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
-    # the 10M OOD set (VERDICT r6 #1): exact anchor (single-run — see
-    # ALWAYS_RERUN note) vs two recall-gated IVF+SQ8 operating points at
+    # the 10M OOD set (VERDICT r6 #1), r8: re-gated on the genuinely
+    # distribution-shifted query batch (synth_ood_queries — VERDICT r7
+    # #1) with 256-sample ground truth.  Exact anchor (single-run — see
+    # RERUN_COUNTS note) vs two recall-gated IVF+SQ8 operating points at
     # BASELINE row 3's own scale, serving points min-of-3 with per-run
     # times.  The recall/QPS grid itself
     # (ood_recall_curve_10m) is produced as a persisted artifact by the
@@ -122,11 +142,14 @@ BENCH_QUERIES = [
     "knn_ip_10m",
     "knn_ip_10m_ivfsq",
     "knn_ip_10m_ivfsq_lo",
-    # reference-scale streaming point (VERDICT r6 #4): the msturing-1M
-    # simple_runbook shape with exact checkpoint search — recall 1.0 by
-    # construction, wall compared against the reference's ~2-3.5 min;
-    # single-run (a full replay is several jobs, RERUN_BELOW_SEC governs)
+    # reference-scale streaming points: the msturing-1M simple_runbook
+    # shape (VERDICT r6 #4, min-of-2 recorded) and BASELINE row 4's
+    # clustered delete-runbook pattern with repeated ST4 consolidation
+    # pressure (VERDICT r7 #4; single-run — a full replay is several
+    # jobs, RERUN_BELOW_SEC governs).  Exact checkpoint search → recall
+    # 1.0 by construction vs the reference's 0.906-0.958 / 0.924.
     "streaming_replay_1m",
+    "streaming_replay_1m_clustered",
     # knn_ip_100k (BASELINE row-3 point) is correctness-gated but NOT
     # benched: its one long BLAS job amplifies host-load noise 5-10x
     # (measured 6-15s clean vs 45-78s under steal bursts), which would
@@ -154,23 +177,18 @@ def main() -> None:
     # the timed loop, mirroring the reference's fit-then-measure protocol
     # (`filter/run.py:15-52` — BASELINE QPS numbers exclude build time).
     # The timed invocations below then serve from the saved indexes.
+    #
+    # The warm list is MINIMAL (r8 trim — the verify bench run overran
+    # the 580s window): every query measured at min-of-N absorbs any
+    # residual first-run build cost in run 1 and the min discards it,
+    # and the index caches persist per host anyway, so warming those
+    # names bought nothing on a warm host and ~40s of wall every run.
+    # What stays is what a SINGLE-RUN timed query would otherwise pay:
     for warm in (
-        "filtered_knn_router",  # builds the per-sf_dir A1 routing stats
-        "ivf_full_probe",
-        "pq_adc_knn",
-        "ivfpq_knn",
-        "sq_knn",  # builds the per-sf_dir SQ8 codes table
-        "ivfsq_knn",  # builds the per-sf_dir IVF+SQ8 entries table
-        "tag_partition_knn",
-        "lsh_cosine_knn",
-        "lang_id_ngram",
-        "sparse_csr_roundtrip",
-        "tag_pair_partition_knn",
-        "filtered_knn_100k",
-        "streaming_clustered_replay",
-        "sparse_mips_100k",
         "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
         "knn_ip_10m_ivfsq",  # stages the 10M base + builds IVF(3200)+SQ8
+        #   (the 10M staging is ~20 min cold — it must never land inside
+        #   the single-run knn_ip_10m anchor's timing)
         # ood_recall_curve_10m is NOT warmed here: its 6-point sweep is
         # ~1-2 min of wall against a bounded bench budget, its index/gt
         # staging is covered by the knn_ip_10m_ivfsq warm above, and the
@@ -185,6 +203,25 @@ def main() -> None:
         registry.QUERIES[warm](spark, sf_dir).count()
         print(
             f"bench: warm {warm} {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    # fixture staging for the r8 scale points, fit-not-search: the 1M
+    # sparse segment layout IS sparse_mips_1m's index (term-sorted
+    # range-partitioned segments), and the clustered corpus + runbook
+    # are streaming_replay_1m_clustered's dataset — both one-time
+    # builds the reference also excludes from its QPS (BASELINE
+    # protocol); cheap no-ops once the /tmp cache exists
+    from filter_vectordb_spark.queries import fixtures as _fx
+
+    for stager in (
+        _fx._synth_sparse1m_terms_dir,
+        _fx._synth_sparse1m_queries,
+        _fx._synth_msturing1m_clustered,
+    ):
+        t0 = time.perf_counter()
+        _fx_result = stager(spark)
+        print(
+            f"bench: stage {stager.__name__} {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
 
@@ -218,14 +255,16 @@ def main() -> None:
             # bounded (driver timeout) — long queries keep their first
             # warm measurement.
             best = float("inf")
-            n_runs = SCALE_RUN_COUNT if name in ALWAYS_RERUN else RUN_COUNT
+            n_runs = RERUN_COUNTS.get(name, RUN_COUNT)
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = min(best, dt)
-                if name in ALWAYS_RERUN:
+                if name in RERUN_COUNTS:
                     runs.setdefault(name, []).append(round(dt, 3))
+                    if dt >= RERUN_HARD_STOP_SEC:
+                        break
                 elif best >= RERUN_BELOW_SEC:
                     break
             timings[name] = round(best, 2)
@@ -242,16 +281,33 @@ def main() -> None:
         "runs": {k: [round(t, 2) for t in v] for k, v in runs.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver records (and parses) only the LAST 2000 chars of output —
-    # r6's 2.1 KB line came back "parsed": null.  Compact separators +
-    # 2-decimal rounding keep the line inside the window; if the registry
-    # grows past it anyway, the per-run arrays move to stderr first.
+    print(format_bench_line(payload))
+    spark.stop()
+
+
+def format_bench_line(payload: dict, limit: int = 1950) -> str:
+    """Serialize the bench payload to the ONE recorded JSON line.
+
+    The driver records (and parses) only the LAST 2000 chars of output —
+    r6's 2.1 KB line came back "parsed": null.  Compact separators +
+    2-decimal rounding keep the line inside the window; past it anyway,
+    the per-run arrays spill to stderr first, then (belt + braces) the
+    per-query map is truncated to the scale points so the headline
+    total always survives.  Unit-tested in tests/test_bench.py — the
+    spill branches must work the round the registry outgrows the
+    window, not be discovered then (VERDICT r7 #7)."""
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1950:
+    if len(line) > limit and "runs" in payload:
         print(f"bench runs: {payload.pop('runs')}", file=sys.stderr)
         line = json.dumps(payload, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    if len(line) > limit:
+        q = payload.get("queries", {})
+        keep = {k: v for k, v in q.items() if any(t in k for t in ("_1m", "_10m", "_100k", "streaming_"))}
+        print(f"bench queries (full): {q}", file=sys.stderr)
+        payload["queries"] = keep
+        payload["queries_truncated"] = len(q) - len(keep)
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

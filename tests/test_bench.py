@@ -1,0 +1,78 @@
+"""bench.py emit contract: the driver records only the LAST 2000 chars
+of stdout and parses the JSON line from that tail (r6 regression:
+a 2.1 KB line came back "parsed": null).  format_bench_line must keep
+the recorded line inside the window by spilling detail to stderr —
+these pin both spill stages so they work the round the registry
+outgrows the window (VERDICT r7 #7: the branch had never run)."""
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import BENCH_QUERIES, RERUN_COUNTS, format_bench_line
+
+
+def _payload(nq: int, runs_names=()):
+    return {
+        "metric": "headline_queries_total_wall",
+        "value": 123.45,
+        "unit": "sec",
+        "queries": {f"some_query_name_{i:03d}": round(0.5 + i / 7, 2) for i in range(nq)},
+        "runs": {n: [1.23, 4.56, 7.89] for n in runs_names},
+        "sf": 0.1,
+    }
+
+
+def test_small_payload_passes_through():
+    p = _payload(5)
+    line = format_bench_line(dict(p))
+    assert json.loads(line) == p  # verbatim, runs intact
+
+
+def test_runs_spill_to_stderr(capsys):
+    # sized so the full line exceeds the window but dropping runs saves it
+    p = _payload(45, runs_names=[f"scale_point_{i}" for i in range(25)])
+    assert len(json.dumps(p, separators=(",", ":"))) > 1950
+    line = format_bench_line(p)
+    out = json.loads(line)
+    assert len(line) <= 1950
+    assert "runs" not in out
+    assert len(out["queries"]) == 45  # queries survive stage-1 spill
+    err = capsys.readouterr().err
+    assert "bench runs:" in err and "scale_point_0" in err
+
+
+def test_query_truncation_keeps_scale_points(capsys):
+    p = _payload(120)
+    p["queries"]["knn_ip_1m"] = 7.6
+    p["queries"]["streaming_replay_1m_clustered"] = 60.0
+    line = format_bench_line(p)
+    out = json.loads(line)
+    assert len(line) <= 1950
+    assert out["queries"]["knn_ip_1m"] == 7.6
+    assert out["queries"]["streaming_replay_1m_clustered"] == 60.0
+    assert out["queries_truncated"] > 0
+    assert out["value"] == 123.45  # the headline total always survives
+    err = capsys.readouterr().err
+    assert "bench queries (full):" in err and "some_query_name_000" in err
+
+
+def test_real_registry_line_fits_after_runs_spill():
+    # the ACTUAL bench shape this round: every BENCH_QUERIES name with a
+    # worst-case 6-char timing + the full runs map.  The recorded line
+    # must fit within the window after at most the runs spill — if this
+    # fails, the bench grew past what the driver can record.
+    p = {
+        "metric": "headline_queries_total_wall",
+        "value": 9999.99,
+        "unit": "sec",
+        "queries": {n: 999.99 for n in BENCH_QUERIES},
+        "runs": {n: [999.99] * c for n, c in RERUN_COUNTS.items()},
+        "sf": 0.1,
+    }
+    line = format_bench_line(p)
+    out = json.loads(line)
+    assert len(line) <= 1950
+    assert "queries_truncated" not in out, "bench registry outgrew the window"
+    assert set(out["queries"]) == set(BENCH_QUERIES)
