@@ -224,6 +224,36 @@ def _synth_sparse1m_queries(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(out)
 
 
+# ----------------------------------------------------- sparse 8.84M fixture
+
+SPARSE8M84_N = 8_841_823  # MSMARCO-SPLADE's exact doc count (BASELINE row 2)
+
+
+def _synth_sparse8m84_terms_dir(spark: SparkSession) -> str:
+    """Stage (once) the sparse corpus at the reference track's OWN size:
+    8,841,823 docs / 30k dims / ~120 nnz (linscan's MSMARCO-SPLADE,
+    `README.md:42` — 101 QPS on 8 vCPUs).  Same segment-is-the-index
+    layout as the 1M staging; 256 range segments keep each task's dense
+    score block at nq×width ≈ 1024 × ~34.5k ≈ 283 MB, inside
+    sparse_topk_sharded's dense-path cap.  ~1.06 G long-form rows,
+    ~4 GB parquet; build-time work by design (BASELINE QPS excludes
+    build)."""
+    from filter_vectordb_spark.sources.synth import synth_sparse_terms
+
+    # IMPACT-ORDERED segments: within each term's posting range the rows
+    # are weight-descending, so a traversal budget is a pure slice of
+    # the binary-searched range — linscan's impact-ordered index layout
+    # (`sparse/linscan` processes postings in decreasing-impact order
+    # under a time/length budget).  The EXACT path is unaffected: it
+    # consumes whole ranges, and term-sortedness still holds.
+    out = _index_cache_dir("sparse8m84_v1", "terms_impact")
+    if not _is_built(out):
+        synth_sparse_terms(spark, n=SPARSE8M84_N, nnz=SPARSE1M_NNZ).repartitionByRange(
+            256, "id"
+        ).sortWithinPartitions("term", F.desc("w")).write.mode("overwrite").parquet(out)
+    return out
+
+
 # ----------------------------------------------------- msturing-1M fixture
 
 
