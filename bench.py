@@ -58,12 +58,14 @@ RERUN_COUNTS = {
     # min-of-2 with the runs array recorded (VERDICT r7 #5 hygiene)
     "streaming_replay_1m": 2,
     # the 1M sparse segment scan: run 1 carries the in-JVM cold cost,
-    # run 2 is the serving number.  The 8.84M point (sparse_mips_8m84)
-    # is registry-checked but deliberately NOT benched: its exact scan
-    # measured 74-261 s run-to-run (1.16 G scored postings amplify
-    # host noise ~3.5x) — one bad window would eat the driver's whole
-    # bench budget; its quiet-host numbers live in docs/RESULTS_r8.md
+    # run 2 is the serving number.  The 8.84M EXACT points
+    # (sparse_mips_8m84*) are registry-checked but deliberately NOT
+    # benched: the exact scan measured 74-261 s run-to-run (1.16 G
+    # scored postings amplify host noise ~3.5x) — one bad window would
+    # eat the driver's whole bench budget; quiet-host numbers live in
+    # docs/RESULTS_r8.md.  The budgeted 8.84M point is cheap (~6 s).
     "sparse_mips_1m": 2,
+    "sparse_mips_8m84_budget": 2,
 }
 
 BENCH_QUERIES = [
@@ -132,6 +134,13 @@ BENCH_QUERIES = [
     # RESULTS-documented) but is too variance-prone for the bounded
     # bench wall — see the RERUN_COUNTS note
     "sparse_mips_1m",
+    # BASELINE row 2 BEATEN at the reference's own corpus size:
+    # linscan's budgeted impact-ordered traversal over the 8.84M
+    # skewed-impact corpus, budget=2 = the smallest grid point
+    # clearing the 0.9 recall gate (measured 0.9091 vs the exact
+    # anchor) — 181 QPS vs linscan's 101 @ >=0.9.  The exact anchors
+    # stay un-benched (variance); recall grid in queries/scale.py
+    "sparse_mips_8m84_budget",
     # the OOD pair (VERDICT r4 #1): exact 1M scan anchor vs the
     # sub-linear IVF+SQ8 serving path — adjacent so the throughput
     # multiple is read straight off the bench line; both best-of-3 with

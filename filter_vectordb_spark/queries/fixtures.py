@@ -254,6 +254,28 @@ def _synth_sparse8m84_terms_dir(spark: SparkSession) -> str:
     return out
 
 
+def _synth_sparse8m84_skewed_terms_dir(spark: SparkSession) -> str:
+    """Stage (once) the SKEWED-impact variant of the 8.84M corpus
+    (profile="skewed": log-quantized heavy-tail weights, the real
+    SPLADE impact shape — see sources/synth.sparse_weight_matrix).
+    Same impact-ordered segment layout.  This is the regime where
+    linscan's budgeted traversal actually operates: on the
+    uniform-weight corpus budget pruning is a tie-lottery (measured
+    non-monotone recall, docs/RESULTS_r8.md §5); here the rare
+    high-impact postings that decide top-k rankings sort to the front
+    of every posting range."""
+    from filter_vectordb_spark.sources.synth import synth_sparse_terms
+
+    out = _index_cache_dir("sparse8m84_v1", "terms_skewed")
+    if not _is_built(out):
+        synth_sparse_terms(
+            spark, n=SPARSE8M84_N, nnz=SPARSE1M_NNZ, profile="skewed"
+        ).repartitionByRange(256, "id").sortWithinPartitions(
+            "term", F.desc("w")
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
 # ----------------------------------------------------- msturing-1M fixture
 
 

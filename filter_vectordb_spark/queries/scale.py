@@ -572,6 +572,55 @@ def sparse_mips_8m84(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_topk_sharded(spark, tdir, q, 10).select("qid", "rank", "id")
 
 
+_8M84_BUDGET = 2  # smallest grid budget clearing the track's 0.9 recall
+# gate on the skewed-impact corpus — measured recall 0.9091 @ 181 QPS
+# (grid: 2 → 0.9091, 4 → 0.9174, 8 → 0.9342, 16 → 0.9515, 32 → 0.9604
+# against the exact scan's top-10; docs/RESULTS_r8.md §5), the
+# reference's smallest-clearing-the-gate operating-point rule
+
+
+@register("sparse_mips_8m84_skewed")  # bench-scale point — rows-only (oracle infeasible at this size)
+def sparse_mips_8m84_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact anchor on the SKEWED-impact 8.84M corpus (the real SPLADE
+    weight shape — log-quantized heavy tail, diverse base; see
+    sources/synth.sparse_weight_matrix).  Ground truth for
+    sparse_mips_8m84_budget's recall gate; exact integer scores."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk_sharded
+    from filter_vectordb_spark.queries.fixtures import (
+        _synth_sparse1m_queries,
+        _synth_sparse8m84_skewed_terms_dir,
+    )
+
+    tdir = _synth_sparse8m84_skewed_terms_dir(spark)
+    q = _synth_sparse1m_queries(spark)
+    return sparse_topk_sharded(spark, tdir, q, 10).select("qid", "rank", "id")
+
+
+@register("sparse_mips_8m84_budget")  # bench-scale point — rows-only (approximate by design)
+def sparse_mips_8m84_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE row 2 beaten at the reference's own corpus size:
+    linscan's budgeted impact-ordered traversal (Q5/W4) over the
+    8,841,823-doc skewed-impact corpus — budget=2 postings per
+    (query-term, segment) range, the smallest grid point clearing the
+    track's 0.9 recall gate (measured 0.9091 vs the exact anchor;
+    grid in _8M84_BUDGET's comment).  Measured 181 QPS on 1,024-query
+    batches vs linscan's 101 QPS @ ≥0.9 recall on 8 vCPUs
+    (`README.md:42`).  The uniform-weight corpus variant
+    (sparse_mips_8m84) shows why the impact distribution matters:
+    budget pruning there is a tie-lottery (docs/RESULTS_r8.md §5)."""
+    from filter_vectordb_spark.operators.sparse import sparse_topk_sharded
+    from filter_vectordb_spark.queries.fixtures import (
+        _synth_sparse1m_queries,
+        _synth_sparse8m84_skewed_terms_dir,
+    )
+
+    tdir = _synth_sparse8m84_skewed_terms_dir(spark)
+    q = _synth_sparse1m_queries(spark)
+    return sparse_topk_sharded(spark, tdir, q, 10, budget=_8M84_BUDGET).select(
+        "qid", "rank", "id"
+    )
+
+
 # -------------------------------------------------- recall-vs-QPS curve (§2.10)
 
 _CURVE_CONFIG = {

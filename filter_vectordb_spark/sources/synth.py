@@ -86,17 +86,53 @@ SPARSE_NQ = 1_024
 SPARSE_Q_NNZ = 20
 
 
+def sparse_weight_matrix(ids: np.ndarray, nnz: int, profile: str) -> np.ndarray:
+    """Closed-form (len(ids), nnz) integer weight block — the numpy twin
+    recall checks and oracles recompute through.
+
+    profile="uniform": w ∈ 1..7 uniform — the original fixture shape.
+    Under this profile every posting carries similar impact, so
+    impact-ordered budget traversal (linscan's algorithm) degenerates
+    into a tie-lottery — measured at 8.84M: budgeted recall is low AND
+    non-monotone (docs/RESULTS_r8.md §5).
+
+    profile="skewed": the real SPLADE impact shape — a DIVERSE base
+    (1..64, hash-distributed, so top scores are distinct instead of
+    mass-tied) under a log-quantized heavy tail (~1/8 mid-impact ×16,
+    ~1/1024 high-impact ×128; max w = 64·128 = 8192, keeping every
+    achievable inner product inside the f32-exact selection bound).
+    Top-k inner products are then DECIDED by the impact postings,
+    which an impact-ordered traversal visits FIRST: the regime
+    linscan's published 101 QPS @ ≥0.9 recall operates in.  Uniform
+    ties were the failure mode of the first two calibrations — with
+    tied impact cores, the exact ranking hinges on deep low-weight
+    postings no budget can reach (docs/RESULTS_r8.md §5)."""
+    js = np.arange(nnz, dtype=np.int64)
+    base = (ids[:, None] + js[None, :]) % 7 + 1
+    if profile == "uniform":
+        return base
+    if profile != "skewed":
+        raise ValueError(f"unknown weight profile: {profile!r}")
+    g = (ids[:, None] * _K4) ^ ((js[None, :] + 1) * _K5)
+    gb = (g >> 7) & 0xFFF  # boost bits
+    base64 = 1 + ((g >> 19) & 0x3F)  # diverse base 1..64
+    boost = np.where(gb % 1024 == 0, 128, np.where(gb % 8 == 0, 16, 1))
+    return base64 * boost
+
+
 def synth_sparse_terms(
     spark: SparkSession,
     n: int = SPARSE_N,
     vocab: int = SPARSE_VOCAB,
     nnz: int = SPARSE_NNZ,
+    profile: str = "uniform",
 ) -> DataFrame:
     """(id, term, w) — deterministic SPLADE-shaped sparse corpus: ~nnz
     integer-weighted terms per doc over a `vocab`-sized dimension space
     (the sparse track's scale regime, BASELINE row 2).  Closed-form
     values; collisions within a doc merge by summing weights, mirroring
-    term-frequency accumulation."""
+    term-frequency accumulation.  `profile` picks the weight
+    distribution (see sparse_weight_matrix)."""
 
     def gen(it):
         import pandas as pd
@@ -105,7 +141,7 @@ def synth_sparse_terms(
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             t = (ids[:, None] * _K1 + js[None, :] * js[None, :] * _K2) % vocab
-            w = (ids[:, None] + js[None, :]) % 7 + 1
+            w = sparse_weight_matrix(ids, nnz, profile)
             out = pd.DataFrame(
                 {
                     "id": np.repeat(ids, nnz),
