@@ -258,6 +258,7 @@ def main() -> None:
         _index_cache_dir("synth10m_v2", "base"),
         _index_cache_dir("synth1m_v2", "base"),
         _fx._synth_sparse1m_terms_dir(spark),
+        _fx._synth_sparse8m84_skewed_terms_dir(spark),
     ):
         for p in _glob.glob(os.path.join(d, "*.parquet")):
             with open(p, "rb", buffering=0) as f:
