@@ -30,6 +30,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
+    # new this round (r8, second wave): the yfcc-shaped filter track at
+    # BASELINE row 1's own scale and vocabulary shape — hash-checked
+    # 4-route twin, the 100k mixed-route bench point, the 10M headline,
+    # and the msturing-10M simple_runbook replay (BASELINE row 5's own
+    # scale)
+    "filtered_knn_yfcc_nq32",
+    "filtered_knn_yfcc_100k",
+    "filtered_knn_yfcc_10m",
+    "streaming_replay_10m",
     # new this round (r8): the hash-checked OOD serving twin (the 1M
     # nq=8 pipeline on the distribution-shifted query set, VERDICT r7
     # #1), the clustered delete-runbook replay with consolidation
@@ -91,12 +100,11 @@ _PRIORITY = [
     "range_search_uint8",
     "tag_pair_doc_freq",
     "dedup_filtered_corpus",
-    "knn_l2_batch",
-    "q4_order_priority",
-    "customer_running_total",
-    "sparse_csr_roundtrip",
     # every other query was driver-green in r7 (CORRECTNESS_r07) and
-    # stays registered + pytest-checked; it re-enters the sample in r9.
+    # stays registered + pytest-checked; knn_l2_batch,
+    # q4_order_priority, customer_running_total and sparse_csr_roundtrip
+    # yielded their r8 slots to the second-wave yfcc/10M rows above and
+    # re-enter in r9.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

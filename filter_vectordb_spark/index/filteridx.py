@@ -1,0 +1,606 @@
+"""yfcc-scale filtered k-NN serving (BASELINE row 1 at the reference's
+own 10M × 192-d × heavy-tailed-vocabulary shape).
+
+Reference architecture (`filter/faiss/faiss.py:238-418`): fit() computes
+per-tag doc frequencies (`:238-239`) and prebuilds sub-indexes for every
+frequent tag and tag pair (`:254-337`, threshold 0.003); search() routes
+per query on estimated selectivity (`mt_threshold`, `:378-385` min-
+frequency upper bound): selective queries take metadata-first CSR
+intersection + brute force (`:392-399`); the rest search the rarer tag's
+sub-index with the other tag checked per node
+(`filter/hnsw/hnswalg.h:89,1751-1756` filter_label_set_).
+
+Spark re-expression — four routes, ALL exact (recall 1.0; the reference
+trades recall for QPS only because its per-tag indexes are HNSW):
+
+  R1 pair view    both query tags form a prebuilt pair partition →
+                  partition-pruned scan of exactly the matching docs
+                  (index/tagpart._score_pair_chunk, SQ8-coded, salted).
+  R2 tag view     single frequent tag → partition-pruned scan of the
+                  tag's docs.
+  R3 tag view+mask  two tags, pair unbuilt, rarer tag frequent → scan
+                  the rarer tag's partition, mask rows containing the
+                  other tag in-kernel (the view carries each doc's full
+                  tags array — the filter_label_set_ equivalent).
+  R4 metadata-first  rarer tag below min_freq → ONE direct-read pass
+                  over the id-sorted codes table: probed-tag inverted
+                  hits (vectorized searchsorted over the flattened tags
+                  column), per-query posting intersection, grouped GEMM
+                  over only the candidates — work ∝ Σ_q |candidates(q)|,
+                  the reference's metadata-first cost model batched
+                  across the whole query set.
+
+Layout (build_filtered_index):
+  stats/    (tag, ndoc)                         A1 routing table
+  grid/     SQ8 lossless grid                   shared decode offset
+  codes/    (id, codes, tags) id-range files    R4's direct-read source
+  tagview/  (tag=<t>/, id, codes, tags)         R2/R3, hot tags salted
+  pair/     index/tagpart pair layout           R1
+
+Everything serves 1-byte SQ8 codes (lossless on integer corpora — the
+yfcc uint8 regime) and ships only nq×k partials per task into the W3
+merge; no route materializes a candidate join.
+
+Contracts: `tags` arrays hold DISTINCT tags per doc (the exploded
+views and the R4 hit lists would otherwise duplicate candidates —
+every in-tree generator satisfies this).  R4's one-pass sweep is the
+right plan while the codes table is page-cache-sized (2.4 GB at 10M);
+for a corpus orders of magnitude past RAM, the same selective queries
+route through the posting-intersection candidate join instead
+(operators/filtered_knn.filtered_knn_metadata_first — work ∝
+Σ|postings|, oracle-checked), trading the sweep for a shuffle.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.index.tagpart import (
+    _f32_exact_ok,
+    _load_view,
+    _score_pair_chunk,
+    _train_codec,
+)
+from filter_vectordb_spark.operators.postings import explode_tags
+from filter_vectordb_spark.operators.topk import per_group_topk
+
+#: the reference's sub-index build threshold (`filter/faiss/faiss.py:268`)
+DEFAULT_MIN_FREQ = 0.003
+
+
+def _encode_with_tags(base: DataFrame, vmin: np.ndarray, vmax: np.ndarray) -> DataFrame:
+    """(id, codes ARRAY<TINYINT>, tags ARRAY<INT>) in one Arrow pass —
+    index/sq.encode_sq's transform with the tags column carried through
+    (a post-hoc join would shuffle the corpus a second time at build)."""
+    from filter_vectordb_spark.index.sq import _scales
+
+    scale = _scales(vmin, vmax)
+    lo = vmin.copy()
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            C = np.clip(np.rint((X - lo[None, :]) / scale[None, :]), 0, 255)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(dtype=np.int64),
+                    "codes": list((C - 128).astype(np.int8)),
+                    "tags": pdf["tags"],
+                }
+            )
+
+    return base.select("id", "emb", "tags").mapInPandas(
+        enc, schema="id long, codes array<tinyint>, tags array<int>"
+    )
+
+
+def index_is_built(out_dir: str) -> bool:
+    return os.path.exists(f"{out_dir}/meta.json") and all(
+        os.path.exists(f"{out_dir}/{p}/_SUCCESS")
+        for p in ("stats", "grid", "codes", "tagview", "pair/view")
+    )
+
+
+def build_filtered_index(
+    base: DataFrame,
+    out_dir: str,
+    min_freq: float = DEFAULT_MIN_FREQ,
+    pair_min_freq: float = DEFAULT_MIN_FREQ,
+    split_rows: int = 262_144,
+) -> None:
+    """Fit-time build (the reference's fit(), `filter/faiss/faiss.py:
+    238-337`; BASELINE QPS excludes build).  base: (id, emb, tags) with
+    integer emb admitting the lossless SQ8 grid — the yfcc uint8 regime;
+    a float corpus is refused rather than silently served lossy."""
+    from filter_vectordb_spark.index.sq import write_grid
+    from filter_vectordb_spark.index.tagpart import build_tag_pair_partitions
+
+    spark = base.sparkSession
+    codec = _train_codec(base)
+    if codec is None:
+        raise ValueError(
+            "build_filtered_index requires an integer corpus admitting "
+            "the lossless SQ8 grid (the yfcc uint8 regime); float "
+            "embeddings would serve lossy codes"
+        )
+    vmin, vmax = codec
+    n = base.count()
+    stats = (
+        explode_tags(base).groupBy("tag").agg(F.count("*").alias("ndoc"))
+    )
+    stats.write.mode("overwrite").parquet(f"{out_dir}/stats")
+    write_grid(spark, vmin, vmax, f"{out_dir}/grid")
+
+    coded = _encode_with_tags(base, vmin, vmax)
+    # id-range files, id-sorted within: R4 tasks read row-group slices
+    # whole; the sorted id column is what makes every view's ids align
+    # with deterministic scan order (and keeps parquet RG stats tight)
+    coded.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "id"
+    ).sortWithinPartitions("id").write.mode("overwrite").parquet(f"{out_dir}/codes")
+
+    # frequent-tag view, hot tags salted into ≤split_rows files (the
+    # pair build's straggler fix, index/tagpart.py — one writer task AND
+    # one scan task per (tag, salt))
+    sdf = spark.read.parquet(f"{out_dir}/stats")
+    frequent = sdf.filter(F.col("ndoc") >= min_freq * n).select("tag", "ndoc")
+    view = (
+        explode_tags(base)
+        .join(F.broadcast(frequent), "tag")
+        .join(spark.read.parquet(f"{out_dir}/codes").select("id", "codes", "tags"), "id")
+        .select("tag", "id", "codes", "tags", "ndoc")
+    )
+    nsplit = F.greatest(F.lit(1), F.ceil(F.col("ndoc") / F.lit(split_rows))).cast("int")
+    n_write_tasks = int(
+        frequent.agg(
+            F.sum(F.greatest(F.lit(1), F.ceil(F.col("ndoc") / F.lit(split_rows)))).alias("s")
+        ).first()["s"]
+        or 1
+    )
+    (
+        view.withColumn("_salt", F.pmod(F.xxhash64(F.col("id")), nsplit).cast("int"))
+        .repartition(n_write_tasks, F.col("tag"), F.col("_salt"))
+        .drop("_salt", "ndoc")
+        .write.mode("overwrite")
+        .partitionBy("tag")
+        .parquet(f"{out_dir}/tagview")
+    )
+
+    build_tag_pair_partitions(base, f"{out_dir}/pair", min_freq=pair_min_freq)
+
+    meta = {"n_base": int(n), "min_freq": min_freq, "pair_min_freq": pair_min_freq}
+    tmp = f"{out_dir}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{out_dir}/meta.json")
+
+
+#: per-session memo of loaded routing metadata, keyed by (appId, path,
+#: meta.json mtime) — same freshness pattern as tagpart._VIEW_CACHE
+_ROUTE_CACHE: dict = {}
+
+
+def _load_routing(spark: SparkSession, out_dir: str):
+    """(ndoc dict, n_base, min_freq, decode_off, pair_avail set,
+    freq_tag→files dict).  The stats table is vocabulary-bounded (the
+    reference's is ~200k tags — a few MB driver-side, the same table
+    its fit() keeps in memory, `filter/faiss/faiss.py:238-239`)."""
+    from filter_vectordb_spark.index.sq import read_grid
+
+    try:
+        token = os.stat(f"{out_dir}/meta.json").st_mtime_ns
+    except OSError:
+        token = None
+    key = (spark.sparkContext.applicationId, out_dir, token)
+    hit = _ROUTE_CACHE.get(key)
+    if hit is None:
+        with open(f"{out_dir}/meta.json") as fh:
+            meta = json.load(fh)
+        pdf = spark.read.parquet(f"{out_dir}/stats").toPandas()
+        ndoc = dict(zip(pdf["tag"].astype(int), pdf["ndoc"].astype(int)))
+        vmin, _vmax = read_grid(spark, f"{out_dir}/grid")
+        off = vmin + 128.0
+        pair_view, pair_off = _load_view(spark, f"{out_dir}/pair")
+        pairs = {
+            (int(r["tag_a"]), int(r["tag_b"]))
+            for r in pair_view.select("tag_a", "tag_b").distinct().collect()
+        }
+        tag_files = {}
+        for d in _glob.glob(f"{out_dir}/tagview/tag=*"):
+            t = int(os.path.basename(d).split("=", 1)[1])
+            tag_files[t] = sorted(_glob.glob(f"{d}/*.parquet"))
+        for stale in [k for k in _ROUTE_CACHE if k[1] == out_dir]:
+            del _ROUTE_CACHE[stale]
+        hit = (
+            ndoc,
+            int(meta["n_base"]),
+            float(meta["min_freq"]),
+            off,
+            pairs,
+            tag_files,
+            pair_view,
+            pair_off,
+        )
+        _ROUTE_CACHE[key] = hit
+    return hit
+
+
+#: (path, mtime_ns, size) → num_row_groups — staged index files are
+#: immutable once written; per-batch footer re-reads measured ~0.4 s of
+#: pure driver overhead on the serving path
+_RG_CACHE: dict = {}
+
+
+def _num_row_groups(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    n = _RG_CACHE.get(key)
+    if n is None:
+        if len(_RG_CACHE) >= 4096:
+            _RG_CACHE.clear()
+        n = pq.ParquetFile(path).num_row_groups
+        _RG_CACHE[key] = n
+    return n
+
+
+def _rg_units(spark: SparkSession, files: list[str], payload=None) -> list:
+    """(payload, path, rg_lo, rg_hi) task units, row-group-aligned, ~4×
+    parallelism when row groups abound (the direct-read fan-out shape of
+    operators/knn._score_vectorized_chunk_direct)."""
+    rg_counts = [(p, _num_row_groups(p)) for p in files]
+    total_rg = sum(n for _, n in rg_counts)
+    target = 4 * spark.sparkContext.defaultParallelism
+    step = max(1, total_rg // max(1, target))
+    units = []
+    for p, nrg in rg_counts:
+        for lo in range(0, nrg, step):
+            units.append((payload, p, lo, min(lo + step, nrg)))
+    return units
+
+
+def _flat_tags(tbl_col, n: int):
+    """(flat_tags int64, row_of int64) off the Arrow list buffers —
+    rebased for sliced arrays (the tagpart/filtered_knn convention)."""
+    import pyarrow as pa
+
+    col = tbl_col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = (col.values.to_numpy(zero_copy_only=False).astype(np.int64))[
+        off[0] : off[-1]
+    ]
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    return flat, row_of
+
+
+def _decode(codes_col, rows: np.ndarray | None, n: int, off: np.ndarray, f32: bool):
+    """Selected rows of the int8 code block, decoded to original values
+    (lossless grid): x = code + off."""
+    from filter_vectordb_spark.operators.knn import flatten_fixed_list
+
+    C = flatten_fixed_list(codes_col, n)
+    if rows is not None:
+        C = C[rows]
+    X = np.ascontiguousarray(C).astype(np.float32) + off.astype(np.float32)
+    return X if f32 else X.astype(np.float64)
+
+
+def _score_tagview(
+    spark: SparkSession,
+    tag_files: dict[int, list[str]],
+    qpdf,
+    k: int,
+    off: np.ndarray,
+) -> DataFrame:
+    """R2/R3: qpdf(qid, qemb, tag, other) with other = -1 for no mask.
+    Direct-read over ONLY the probed tags' partition files; per (tag,
+    other) query group, one mask (when other ≥ 0) + one GEMM per task
+    unit; nq×k partials per task (W3)."""
+    groups: dict = {}
+    for (tag, other), grp in qpdf.groupby(["tag", "other"]):
+        groups.setdefault(int(tag), []).append(
+            (
+                int(other),
+                grp["qid"].to_numpy(dtype=np.int64),
+                np.stack(grp["qemb"].to_numpy()).astype(np.float64),
+            )
+        )
+    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
+    files = []
+    for t in groups:
+        for p in tag_files.get(t, ()):
+            files.append((t, p))
+    if not files:
+        return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE")
+    units = []
+    for t, p in files:
+        units.extend(_rg_units(spark, [p], payload=t))
+    bc = spark.sparkContext.broadcast((groups, off, use_f32))
+    par = max(1, min(len(units), 4 * spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(units, par),
+        "tag INT, path STRING, rg_lo INT, rg_hi INT",
+    )
+
+    def serve(it):
+        import pyarrow.parquet as pq
+
+        from filter_vectordb_spark.operators.knn import gemm_topk, task_topk_merge
+
+        bgroups, boff, bf32 = bc.value
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            for tag, path, lo, hi in zip(
+                batch.column("tag").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("rg_lo").to_pylist(),
+                batch.column("rg_hi").to_pylist(),
+            ):
+                tgroups = bgroups.get(tag)
+                if not tgroups:
+                    continue
+                need_tags = any(o >= 0 for o, _, _ in tgroups)
+                cols = ["id", "codes"] + (["tags"] if need_tags else [])
+                tbl = pq.ParquetFile(path).read_row_groups(
+                    list(range(lo, hi)), columns=cols
+                )
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                ids = tbl.column("id").to_numpy(zero_copy_only=False)
+                flat = row_of = None
+                if need_tags:
+                    flat, row_of = _flat_tags(tbl.column("tags"), n)
+                X_all = _decode(tbl.column("codes"), None, n, boff, bf32)
+                xn_all = None
+                for other, qids, Q in tgroups:
+                    if other < 0:
+                        Xc, ic = X_all, ids
+                        if xn_all is None:
+                            Xf = X_all.astype(np.float64)
+                            xn_all = (Xf * Xf).sum(axis=1)
+                        xc = xn_all
+                    else:
+                        m = np.zeros(n, dtype=bool)
+                        m[row_of[flat == other]] = True
+                        rows = np.nonzero(m)[0]
+                        if len(rows) == 0:
+                            continue
+                        Xc = np.ascontiguousarray(X_all[rows])
+                        ic = ids[rows]
+                        Xf = Xc.astype(np.float64)
+                        xc = (Xf * Xf).sum(axis=1)
+                    Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
+                    qn = (Q * Q).sum(axis=1)
+                    part, dist = gemm_topk(Qc, qn, Xc, xc, "l2", k)
+                    out_q.append(np.repeat(qids, part.shape[1]))
+                    out_i.append(ic[part].ravel())
+                    out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
+
+    return fdf.mapInArrow(serve, schema="qid long, id long, dist double")
+
+
+def _score_meta(
+    spark: SparkSession,
+    codes_dir: str,
+    qpdf,
+    k: int,
+    off: np.ndarray,
+) -> DataFrame:
+    """R4: one direct-read pass over the codes table for ALL selective
+    queries.  qpdf(qid, qemb, qtags).  Per task unit: flatten the tags
+    column once, one vectorized searchsorted membership against the
+    probed-tag array, lexsort the hits into per-tag row lists, then per
+    query group intersect (≤ 2 sorted lists) and GEMM only the
+    candidates — work ∝ Σ_q |candidates(q)| plus one metadata sweep,
+    never a candidate join shuffle."""
+    # group queries by their (sorted, deduped) conjunction
+    gkey: dict[tuple, list[int]] = {}
+    for j, t in enumerate(qpdf["qtags"]):
+        need = tuple(sorted({int(x) for x in (t if t is not None else ())}))
+        gkey.setdefault(need, []).append(j)
+    qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
+    Q_all = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    probed = np.array(
+        sorted({t for need in gkey for t in need}), dtype=np.int64
+    )
+    groups = []  # (need_idx int64[], qids, Q)
+    for need, pos in gkey.items():
+        idx = np.searchsorted(probed, np.array(need, dtype=np.int64))
+        p = np.asarray(pos, dtype=np.int64)
+        groups.append((idx, qids_all[p], Q_all[p]))
+    use_f32 = _f32_exact_ok(Q_all)
+    files = sorted(_glob.glob(f"{codes_dir}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {codes_dir}")
+    units = _rg_units(spark, files, payload=0)
+    bc = spark.sparkContext.broadcast((groups, probed, off, use_f32))
+    par = max(1, min(len(units), 4 * spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(units, par),
+        "pl INT, path STRING, rg_lo INT, rg_hi INT",
+    )
+
+    def serve(it):
+        import pyarrow.parquet as pq
+
+        from filter_vectordb_spark.operators.knn import gemm_topk, task_topk_merge
+
+        bgroups, bprobed, boff, bf32 = bc.value
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            for path, lo, hi in zip(
+                batch.column("path").to_pylist(),
+                batch.column("rg_lo").to_pylist(),
+                batch.column("rg_hi").to_pylist(),
+            ):
+                tbl = pq.ParquetFile(path).read_row_groups(
+                    list(range(lo, hi)), columns=["id", "codes", "tags"]
+                )
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                ids = tbl.column("id").to_numpy(zero_copy_only=False)
+                flat, row_of = _flat_tags(tbl.column("tags"), n)
+                # vectorized membership: one searchsorted sweep over the
+                # flattened tags against the (sorted) probed array
+                pos = np.searchsorted(bprobed, flat)
+                valid = pos < len(bprobed)
+                valid[valid] = bprobed[pos[valid]] == flat[valid]
+                ptag = pos[valid]
+                prow = row_of[valid]
+                order = np.lexsort((prow, ptag))
+                ptag, prow = ptag[order], prow[order]
+                starts = np.searchsorted(
+                    ptag, np.arange(len(bprobed) + 1, dtype=np.int64)
+                )
+                X_all = None
+                xn_full = None
+                for need_idx, qids, Q in bgroups:
+                    if len(need_idx) == 0:
+                        rows = None  # empty conjunction: every row
+                    else:
+                        rows = prow[starts[need_idx[0]] : starts[need_idx[0] + 1]]
+                        for t in need_idx[1:]:
+                            other = prow[starts[t] : starts[t + 1]]
+                            # both sorted: membership via searchsorted
+                            p2 = np.searchsorted(other, rows)
+                            m = p2 < len(other)
+                            m[m] = other[p2[m]] == rows[m]
+                            rows = rows[m]
+                        if len(rows) == 0:
+                            continue
+                    if X_all is None:
+                        X_all = _decode(tbl.column("codes"), None, n, boff, bf32)
+                    if rows is None:
+                        Xc, ic = X_all, ids
+                        if xn_full is None:
+                            Xf = X_all.astype(np.float64)
+                            xn_full = (Xf * Xf).sum(axis=1)
+                        xc = xn_full
+                    else:
+                        Xc = np.ascontiguousarray(X_all[rows])
+                        ic = ids[rows]
+                        Xf = Xc.astype(np.float64)
+                        xc = (Xf * Xf).sum(axis=1)
+                    Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
+                    qn = (Q * Q).sum(axis=1)
+                    part, dist = gemm_topk(Qc, qn, Xc, xc, "l2", k)
+                    out_q.append(np.repeat(qids, part.shape[1]))
+                    out_i.append(ic[part].ravel())
+                    out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
+
+    return fdf.mapInArrow(serve, schema="qid long, id long, dist double")
+
+
+def _route(qtags_col, ndoc: dict, thr: float, pairs: set, tag_files: dict):
+    """Per-query route decision — the reference's min-frequency rule
+    (`filter/faiss/faiss.py:378-385`) plus its prebuilt-sub-index
+    preference (`:404-418`).  Returns (r_pair, r_tag, r_meta row-index
+    lists, tag_col, other_col).  Pure driver-side; unit-tested."""
+    n = len(qtags_col)
+    r_pair, r_tag, r_meta = [], [], []
+    tag_col = np.full(n, -1, dtype=np.int64)
+    other_col = np.full(n, -1, dtype=np.int64)
+    for j, t in enumerate(qtags_col):
+        need = sorted({int(x) for x in (t if t is not None else ())})
+        if len(need) == 2 and (need[0], need[1]) in pairs:
+            r_pair.append(j)
+            continue
+        freqs = [(ndoc.get(x, 0), x) for x in need]
+        if not freqs or min(f for f, _ in freqs) < thr:
+            r_meta.append(j)  # incl. the empty conjunction (scan-all)
+            continue
+        _, rarer = min(freqs)
+        if rarer in tag_files:
+            tag_col[j] = rarer
+            rest = [x for x in need if x != rarer]
+            other_col[j] = rest[0] if rest else -1
+            r_tag.append(j)
+        else:
+            # frequent by count but no partition (stale build) — exact
+            # fallback through the metadata scan
+            r_meta.append(j)
+    return r_pair, r_tag, r_meta, tag_col, other_col
+
+
+def filtered_search(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Serve a query batch through the built index.  queries: (qid,
+    qemb, qtags ARRAY<INT>, 0-2 tags).  Returns (qid, id, dist, rank);
+    a query whose conjunction matches no doc is absent (the harness's
+    -1 padding is W2's job).  Routing is the reference's min-frequency
+    rule (`filter/faiss/faiss.py:378-385`): rarer-tag ndoc < min_freq·n
+    → metadata-first; else the prebuilt pair/tag partitions."""
+    import filter_vectordb_spark.operators.knn as _knn
+
+    (ndoc, n_base, min_freq, off, pairs, tag_files, pair_view, pair_off) = (
+        _load_routing(spark, out_dir)
+    )
+    qpdf = queries.select("qid", "qemb", "qtags").limit(
+        _knn.MAX_BROADCAST_QUERIES
+    ).toPandas()
+    if len(qpdf) >= _knn.MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            "filtered_search serves broadcast-sized query batches "
+            f"(< {_knn.MAX_BROADCAST_QUERIES}); chunk the batch upstream"
+        )
+    if len(qpdf) == 0:
+        return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE, rank INT")
+    r_pair, r_tag, r_meta, tag_col, other_col = _route(
+        qpdf["qtags"], ndoc, min_freq * n_base, pairs, tag_files
+    )
+    parts = []
+    if r_pair:
+        pp = qpdf.iloc[r_pair].copy()
+        tt = np.array([sorted({int(x) for x in t}) for t in pp["qtags"]])
+        pp["tag_a"], pp["tag_b"] = tt[:, 0], tt[:, 1]
+        parts.append(_score_pair_chunk(spark, pair_view, pp, k, pair_off))
+    if r_tag:
+        tp = qpdf.iloc[r_tag].copy()
+        tp["tag"] = tag_col[r_tag]
+        tp["other"] = other_col[r_tag]
+        parts.append(_score_tagview(spark, tag_files, tp, k, off))
+    if r_meta:
+        parts.append(
+            _score_meta(spark, f"{out_dir}/codes", qpdf.iloc[r_meta], k, off)
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    return per_group_topk(
+        scored, ["qid"], [F.col("dist").asc(), F.col("id").asc()], k
+    ).select("qid", "id", "dist", "rank")

@@ -233,6 +233,137 @@ def synth_ood_queries(
     )
 
 
+# ---------------------------------------- yfcc-shaped tag model (r8)
+# BASELINE row 1 is yfcc-10M: 10M × 192-d uint8 with a 200,386-tag
+# vocabulary whose doc-frequencies are heavy-tailed (`README.md:21-24`;
+# the fork's whole mt_threshold hybrid exists BECAUSE query
+# selectivities span that range, `filter/faiss/config.yaml:54-63`).
+# The modular 30-tag model above (synth_uint8_base) pins every pair at
+# selectivity 1/70 — fine for exercising one route, rigged-easy as a
+# 10M headline (every query would hit a prebuilt pair view).
+#
+# This model is dyadic-Zipf and stays closed-form/SQL-recomputable:
+# each doc makes _YFCC_DRAWS independent draws; a draw picks a LEVEL
+# l uniform in 0.._YFCC_LEVELS-1, then a tag uniform among the 2^l
+# tags of that level (tag id = 2^l - 1 + u).  Constant probability
+# mass per level over doubling widths ⇒ per-tag doc-frequency ∝ 2^-l
+# ∝ 1/rank — Zipf(1) over a (2^18 - 1) = 262,143-tag vocabulary, the
+# yfcc scale.  At 10M the hottest tag covers ~2.2M docs (22%) and
+# level-17 tags ~17 docs each, so the 1-2-tag query mix spans the
+# pair-view / tag-view / metadata-first routing space the reference's
+# hybrid was built for.
+
+_YFCC_LEVELS = 18
+_YFCC_DRAWS = 4
+YFCC_VOCAB = (1 << _YFCC_LEVELS) - 1  # 262,143 tags (yfcc: 200,386)
+
+
+def yfcc_draws(ids: np.ndarray, ndraws: int = _YFCC_DRAWS) -> np.ndarray:
+    """(n, ndraws) int64 raw tag draws — the closed-form numpy twin the
+    DuckDB oracles regenerate: g = (id·K1) XOR ((i+1)·K5),
+    l = (g>>5) % 18, tag = (2^l - 1) + ((g>>23) % 2^l).  id·K1 < 2^63
+    for id < 2^32, so g stays non-negative and the SQL twin (xor + >>
+    + %) is bit-identical."""
+    ids = np.asarray(ids, dtype=np.int64)
+    di = np.arange(ndraws, dtype=np.int64)
+    g = (ids[:, None] * _K1) ^ ((di[None, :] + 1) * _K5)
+    lvl = (g >> 5) % _YFCC_LEVELS
+    w = np.left_shift(np.int64(1), lvl)
+    return w - 1 + ((g >> 23) % w)
+
+
+def _dedup_rows(T: np.ndarray) -> np.ndarray:
+    """Order-preserving per-row distinct mask for a small (n, m) draw
+    matrix — keep[i, j] iff T[i, j] differs from every earlier draw of
+    row i (m is 4: six vectorized comparisons, no per-row Python)."""
+    keep = np.ones(T.shape, dtype=bool)
+    for j in range(1, T.shape[1]):
+        for i in range(j):
+            keep[:, j] &= T[:, j] != T[:, i]
+    return keep
+
+
+def synth_yfcc_base(
+    spark: SparkSession, n: int = SCALE_N, d: int = SCALE_D
+) -> DataFrame:
+    """(id, emb ARRAY<INT> 0..250, tags ARRAY<INT>, sig BIGINT) — the
+    v2 embedding pattern under the yfcc-shaped dyadic-Zipf tag model
+    (1-4 distinct tags per doc, draw order preserved)."""
+
+    def gen(it):
+        import pandas as pd
+
+        js = np.arange(d, dtype=np.int64)
+        for pdf in it:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            H = (ids[:, None] * _K1) ^ ((js[None, :] + 1) * _K3)
+            E = ((H >> 11) % 251).astype(np.int32)
+            T = yfcc_draws(ids).astype(np.int32)
+            keep = _dedup_rows(T)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "emb": list(E),
+                    "tags": [row[m] for row, m in zip(T, keep)],
+                }
+            )
+
+    base = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema="id BIGINT, emb ARRAY<INT>, tags ARRAY<INT>")
+    )
+    return base.withColumn("sig", sig_from_tags(F.col("tags")))
+
+
+#: query embeddings use the base pattern at id' = 2^24 + qid: the same
+#: distribution (the filter track's queries are in-distribution, unlike
+#: OOD's), never a corpus row for any n ≤ 2^24
+_YFCC_Q_OFFSET = 1 << 24
+
+
+def synth_yfcc_queries(
+    spark: SparkSession,
+    nq: int = SCALE_NQ,
+    d: int = SCALE_D,
+) -> DataFrame:
+    """(qid, qemb, qtags) — qemb is the v2 base pattern at 2^24 + qid
+    (in-distribution, off-corpus); qtags are the first 1 + qid % 2
+    distinct draws of DOC qid (capped at the doc's distinct count), so
+    every conjunction matches ≥ 1 corpus doc (doc qid itself, for any
+    corpus with n > qid) and the 1-/2-tag mix spans the Zipf
+    selectivity range — the yfcc query regime (`filter/run.py:10-12`,
+    1-2 conjunctive tags)."""
+
+    def gen(it):
+        import pandas as pd
+
+        js = np.arange(d, dtype=np.int64)
+        for pdf in it:
+            qids = pdf["id"].to_numpy(dtype=np.int64)
+            ids = qids + _YFCC_Q_OFFSET
+            H = (ids[:, None] * _K1) ^ ((js[None, :] + 1) * _K3)
+            E = ((H >> 11) % 251).astype(np.int32)
+            T = yfcc_draws(qids).astype(np.int32)
+            keep = _dedup_rows(T)
+            nsel = 1 + (qids % 2)
+            yield pd.DataFrame(
+                {
+                    "qid": qids,
+                    "qemb": list(E),
+                    "qtags": [
+                        row[m][:k] for row, m, k in zip(T, keep, nsel)
+                    ],
+                }
+            )
+
+    return (
+        spark.range(nq)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, schema="qid BIGINT, qemb ARRAY<INT>, qtags ARRAY<INT>")
+    )
+
+
 def synth_queries(spark: SparkSession, nq: int = SCALE_NQ, d: int = SCALE_D) -> DataFrame:
     """(qid, qemb, qtags) — the first nq base vectors with the 2-tag
     conjunction [coarse, mid] (selectivity 1/70, the yfcc-style 1-2 tag

@@ -1,0 +1,168 @@
+"""yfcc-scale filtered serving index (index/filteridx) — route coverage
+and exactness against the brute-force scan on the dyadic-Zipf tag model
+(`sources/synth.synth_yfcc_base`)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from filter_vectordb_spark.index.filteridx import (
+    _route,
+    build_filtered_index,
+    filtered_search,
+    index_is_built,
+)
+from filter_vectordb_spark.sources.synth import (
+    YFCC_VOCAB,
+    _dedup_rows,
+    synth_yfcc_base,
+    synth_yfcc_queries,
+    yfcc_draws,
+)
+
+N = 20_000
+MIN_FREQ = 0.01  # at 20k docs: levels 0..4 frequent, pairs of hot tags built
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fidx") / "yfcc20k")
+    base = synth_yfcc_base(spark, n=N)
+    build_filtered_index(base, out, min_freq=MIN_FREQ, pair_min_freq=MIN_FREQ)
+    assert index_is_built(out)
+    return out, base
+
+
+def test_yfcc_tag_model_shape():
+    """Closed-form draws: Zipf profile, vocabulary bound, order-
+    preserving dedup."""
+    T = yfcc_draws(np.arange(50_000, dtype=np.int64))
+    assert T.min() >= 0 and T.max() <= YFCC_VOCAB - 1
+    keep = _dedup_rows(T)
+    # avg ~4 distinct tags/doc (collisions only among the hot few)
+    assert 3.9 <= keep.sum() / 50_000 <= 4.0
+    cnt = np.bincount(T[keep].ravel(), minlength=YFCC_VOCAB)
+    # tag 0 (level 0) covers ~4/18 of docs; level-6 tags ~4/(18·64)
+    assert 0.18 <= cnt[0] / 50_000 <= 0.25
+    lvl6 = cnt[63:127]
+    assert 0.5 * 4 / (18 * 64) <= lvl6.mean() / 50_000 <= 2 * 4 / (18 * 64)
+    # dedup keeps first occurrence: no row repeats a tag
+    flat_rows = [row[m] for row, m in zip(T[:1000], keep[:1000])]
+    assert all(len(set(r.tolist())) == len(r) for r in flat_rows)
+
+
+def test_yfcc_queries_tag_mix(spark):
+    q = synth_yfcc_queries(spark, nq=64).toPandas().sort_values("qid")
+    nsel = q["qtags"].map(len).to_numpy()
+    qids = q["qid"].to_numpy()
+    # even qids carry 1 tag, odd up to 2 (capped at distinct draws)
+    assert (nsel[qids % 2 == 0] == 1).all()
+    assert (nsel[qids % 2 == 1] <= 2).all() and (nsel >= 1).all()
+    # query tags are the query DOC's first distinct draws → ≥1 match
+    T = yfcc_draws(qids)
+    keep = _dedup_rows(T)
+    for row, m, tags, k in zip(T, keep, q["qtags"], 1 + qids % 2):
+        expect = row[m][: int(k)].tolist()
+        assert [int(x) for x in tags] == [int(x) for x in expect]
+
+
+def test_route_rules():
+    ndoc = {0: 5000, 1: 2500, 200: 40, 300: 7}
+    pairs = {(0, 1)}
+    tag_files = {0: ["f0"], 1: ["f1"]}
+    qtags = [[0, 1], [1, 0], [0], [0, 200], [200, 300], [300], [], [999], [1, 200]]
+    r_pair, r_tag, r_meta, tag_col, other_col = _route(
+        qtags, ndoc, thr=100.0, pairs=pairs, tag_files=tag_files
+    )
+    assert r_pair == [0, 1]  # built pair, order-insensitive
+    assert r_tag == [2]  # single frequent tag
+    assert tag_col[2] == 0 and other_col[2] == -1
+    # rare rarer tag → metadata-first (incl. empty + unknown tags)
+    assert r_meta == [3, 4, 5, 6, 7, 8]
+
+
+def test_filtered_search_matches_bruteforce(spark, built):
+    """End-to-end exactness: every route vs the fused brute-force scan
+    (operators/filtered_knn.filtered_knn_scan) on the same corpus."""
+    from filter_vectordb_spark.index.filteridx import _load_routing
+    from filter_vectordb_spark.operators.filtered_knn import filtered_knn_scan
+
+    out, base = built
+    q = synth_yfcc_queries(spark, nq=96)
+    got = (
+        filtered_search(spark, out, q, k=10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        filtered_knn_scan(q, base, 10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["qid", "id", "rank"]], want[["qid", "id", "rank"]]
+    )
+    np.testing.assert_allclose(got["dist"], want["dist"], rtol=0, atol=0)
+    # the batch must exercise every route at this size, or the test
+    # silently shrinks to one path
+    ndoc, n_base, min_freq, _off, pairs, tag_files, _pv, _po = _load_routing(
+        spark, out
+    )
+    qpdf = q.toPandas()
+    r_pair, r_tag, r_meta, _, _ = _route(
+        qpdf["qtags"], ndoc, min_freq * n_base, pairs, tag_files
+    )
+    assert r_pair and r_tag and r_meta
+
+
+def test_filtered_search_edge_queries(spark, built):
+    """Empty conjunction = unfiltered exact k-NN; unknown tag = absent."""
+    from filter_vectordb_spark.operators.knn import knn_join
+
+    out, base = built
+    qe = synth_yfcc_queries(spark, nq=2).select(
+        "qid",
+        "qemb",
+        F.when(F.col("qid") == 0, F.array().cast("array<int>"))
+        .otherwise(F.array(F.lit(YFCC_VOCAB + 5)))
+        .alias("qtags"),
+    )
+    got = filtered_search(spark, out, qe, k=5).toPandas()
+    assert set(got["qid"]) == {0}  # qid 1's tag matches nothing
+    want = knn_join(
+        qe.filter(F.col("qid") == 0), base, 5, metric="l2"
+    ).toPandas()
+    g0 = got.sort_values("rank")
+    assert g0["id"].tolist() == want.sort_values("rank")["id"].tolist()
+
+
+def test_two_rare_tag_intersection(spark, built):
+    """R4 with a 2-tag conjunction of two RARE tags: the in-kernel
+    sorted-posting intersection, checked against a pandas oracle."""
+    out, base = built
+    bp = base.select("id", "tags").toPandas()
+    # find a doc with two rare (level ≥ 8 → tag ≥ 255) distinct tags
+    pick = None
+    for _, r in bp.iterrows():
+        rare = [int(t) for t in r["tags"] if int(t) >= 255]
+        if len(rare) >= 2:
+            pick = (int(r["id"]), rare[0], rare[1])
+            break
+    assert pick is not None
+    _doc, ta, tb = pick
+    q = synth_yfcc_queries(spark, nq=1).select(
+        "qid", "qemb", F.array(F.lit(ta), F.lit(tb)).alias("qtags")
+    )
+    got = filtered_search(spark, out, q, k=10).toPandas()
+    # pandas oracle: exact candidate set
+    cand = {
+        int(r["id"])
+        for _, r in bp.iterrows()
+        if ta in set(map(int, r["tags"])) and tb in set(map(int, r["tags"]))
+    }
+    assert set(got["id"]) <= cand and len(got) == min(10, len(cand))

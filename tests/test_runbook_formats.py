@@ -38,6 +38,29 @@ def test_every_reference_runbook_parses(path):
                 assert 0 <= s.start < s.end
 
 
+def test_msturing10m_runbook_parses():
+    """The in-tree 10M simple-runbook twin mirrors the reference's
+    msturing-10M block step-for-step (`streaming/simple_runbook.yaml:
+    22-44`): insert 10M / search / delete 5M / search / re-insert /
+    search under max_pts = 10M."""
+    import os
+
+    import filter_vectordb_spark.streaming as st
+
+    ypath = os.path.join(os.path.dirname(st.__file__), "msturing10m_runbook.yaml")
+    rb = parse_runbook_yaml(ypath, "synth-msturing-10m")
+    assert rb.max_pts == 10_000_000
+    ops = [(s.operation, s.start, s.end) for s in rb.steps]
+    assert ops == [
+        ("insert", 0, 10_000_000),
+        ("search", None, None),
+        ("delete", 0, 5_000_000),
+        ("search", None, None),
+        ("insert", 0, 5_000_000),
+        ("search", None, None),
+    ]
+
+
 def test_reference_clustered_runbook_replays(spark):
     """Replay the reference's own random-xs-clustered delete_runbook
     (6,400 points, interleaved insert/delete/search) against a synthetic
