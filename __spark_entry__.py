@@ -38,6 +38,7 @@ _PRIORITY = [
     "filtered_knn_yfcc_nq32",
     "filtered_knn_yfcc_100k",
     "filtered_knn_yfcc_10m",
+    "filtered_knn_yfcc_10m_ivf",
     "streaming_replay_10m",
     # new this round (r8): the hash-checked OOD serving twin (the 1M
     # nq=8 pipeline on the distribution-shifted query set, VERDICT r7
@@ -96,15 +97,14 @@ _PRIORITY = [
     "media_decode_stats",
     "uint8_knn",
     "binfmt_roundtrip",
-    "binfmt_fetch_roundtrip",
     "range_search_uint8",
     "tag_pair_doc_freq",
     "dedup_filtered_corpus",
     # every other query was driver-green in r7 (CORRECTNESS_r07) and
     # stays registered + pytest-checked; knn_l2_batch,
-    # q4_order_priority, customer_running_total and sparse_csr_roundtrip
-    # yielded their r8 slots to the second-wave yfcc/10M rows above and
-    # re-enter in r9.
+    # q4_order_priority, customer_running_total, sparse_csr_roundtrip
+    # and binfmt_fetch_roundtrip yielded their r8 slots to the
+    # second-wave yfcc/10M rows above and re-enter in r9.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

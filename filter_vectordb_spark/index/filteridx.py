@@ -61,12 +61,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from filter_vectordb_spark.index.tagpart import (
-    _f32_exact_ok,
-    _load_view,
-    _score_pair_chunk,
-    _train_codec,
-)
+from filter_vectordb_spark.index.tagpart import _f32_exact_ok, _train_codec
 from filter_vectordb_spark.operators.postings import explode_tags
 from filter_vectordb_spark.operators.topk import per_group_topk
 
@@ -107,7 +102,7 @@ def _encode_with_tags(base: DataFrame, vmin: np.ndarray, vmax: np.ndarray) -> Da
 def index_is_built(out_dir: str) -> bool:
     return os.path.exists(f"{out_dir}/meta.json") and all(
         os.path.exists(f"{out_dir}/{p}/_SUCCESS")
-        for p in ("stats", "grid", "codes", "tagview", "pair/view")
+        for p in ("stats", "grid", "codes", "tagview", "pair/view", "centroids")
     )
 
 
@@ -117,11 +112,20 @@ def build_filtered_index(
     min_freq: float = DEFAULT_MIN_FREQ,
     pair_min_freq: float = DEFAULT_MIN_FREQ,
     split_rows: int = 262_144,
+    nlist: int | None = None,
 ) -> None:
     """Fit-time build (the reference's fit(), `filter/faiss/faiss.py:
     238-337`; BASELINE QPS excludes build).  base: (id, emb, tags) with
     integer emb admitting the lossless SQ8 grid — the yfcc uint8 regime;
-    a float corpus is refused rather than silently served lossy."""
+    a float corpus is refused rather than silently served lossy.
+
+    nlist (default √n): a shared coarse quantizer is sample-trained and
+    every tag-view row carries its list id, stored LIST-SORTED within
+    each (tag, salt) file — the per-tag sub-index the reference builds
+    as HNSW (`filter/faiss/faiss.py:254-288`) becomes binary-searchable
+    list ranges inside the partition, so an nprobe-gated serve scans
+    only each query's nearest lists (filtered_search(nprobe=…))."""
+    from filter_vectordb_spark.index.ivf import build_ivf
     from filter_vectordb_spark.index.sq import write_grid
     from filter_vectordb_spark.index.tagpart import build_tag_pair_partitions
 
@@ -135,6 +139,8 @@ def build_filtered_index(
         )
     vmin, vmax = codec
     n = base.count()
+    if nlist is None:
+        nlist = max(16, int(round(n**0.5)))  # the √N rule
     stats = (
         explode_tags(base).groupBy("tag").agg(F.count("*").alias("ndoc"))
     )
@@ -149,16 +155,28 @@ def build_filtered_index(
         spark.sparkContext.defaultParallelism, "id"
     ).sortWithinPartitions("id").write.mode("overwrite").parquet(f"{out_dir}/codes")
 
+    # shared coarse quantizer (faiss protocol: sample-trained, full
+    # assignment — the deterministic driver-side trainer)
+    assignments, centroids = build_ivf(
+        base.select("id", "emb"),
+        nlist=nlist,
+        max_iter=10,
+        train_rows=min(200_000, n),
+        coarse="numpy",
+    )
+    centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
     # frequent-tag view, hot tags salted into ≤split_rows files (the
     # pair build's straggler fix, index/tagpart.py — one writer task AND
-    # one scan task per (tag, salt))
+    # one scan task per (tag, salt)); rows LIST-SORTED within each file
     sdf = spark.read.parquet(f"{out_dir}/stats")
     frequent = sdf.filter(F.col("ndoc") >= min_freq * n).select("tag", "ndoc")
     view = (
         explode_tags(base)
         .join(F.broadcast(frequent), "tag")
         .join(spark.read.parquet(f"{out_dir}/codes").select("id", "codes", "tags"), "id")
-        .select("tag", "id", "codes", "tags", "ndoc")
+        .join(assignments.select("id", F.col("centroid_id").alias("lst")), "id")
+        .select("tag", "id", "codes", "tags", "lst", "ndoc")
     )
     nsplit = F.greatest(F.lit(1), F.ceil(F.col("ndoc") / F.lit(split_rows))).cast("int")
     n_write_tasks = int(
@@ -170,6 +188,12 @@ def build_filtered_index(
     (
         view.withColumn("_salt", F.pmod(F.xxhash64(F.col("id")), nsplit).cast("int"))
         .repartition(n_write_tasks, F.col("tag"), F.col("_salt"))
+        # the partition column LEADS the sort: FileFormatWriter re-sorts
+        # any task not already ordered by its dynamic partition columns,
+        # and that internal sort is not stable — a bare (lst, id) sort
+        # here came back scrambled at 10M (measured: probed recall
+        # collapsed to the random-scan floor ~nprobe/nlist)
+        .sortWithinPartitions("tag", "lst", "id")
         .drop("_salt", "ndoc")
         .write.mode("overwrite")
         .partitionBy("tag")
@@ -178,7 +202,12 @@ def build_filtered_index(
 
     build_tag_pair_partitions(base, f"{out_dir}/pair", min_freq=pair_min_freq)
 
-    meta = {"n_base": int(n), "min_freq": min_freq, "pair_min_freq": pair_min_freq}
+    meta = {
+        "n_base": int(n),
+        "min_freq": min_freq,
+        "pair_min_freq": pair_min_freq,
+        "nlist": int(nlist),
+    }
     tmp = f"{out_dir}/meta.json.tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -191,10 +220,12 @@ _ROUTE_CACHE: dict = {}
 
 
 def _load_routing(spark: SparkSession, out_dir: str):
-    """(ndoc dict, n_base, min_freq, decode_off, pair_avail set,
+    """(ndoc dict, n_base, min_freq, decode_off, pair→files dict,
     freq_tag→files dict).  The stats table is vocabulary-bounded (the
     reference's is ~200k tags — a few MB driver-side, the same table
-    its fit() keeps in memory, `filter/faiss/faiss.py:238-239`)."""
+    its fit() keeps in memory, `filter/faiss/faiss.py:238-239`); the
+    built pair/tag listings come from the partition directory names —
+    driver metadata, no Spark job."""
     from filter_vectordb_spark.index.sq import read_grid
 
     try:
@@ -210,15 +241,21 @@ def _load_routing(spark: SparkSession, out_dir: str):
         ndoc = dict(zip(pdf["tag"].astype(int), pdf["ndoc"].astype(int)))
         vmin, _vmax = read_grid(spark, f"{out_dir}/grid")
         off = vmin + 128.0
-        pair_view, pair_off = _load_view(spark, f"{out_dir}/pair")
-        pairs = {
-            (int(r["tag_a"]), int(r["tag_b"]))
-            for r in pair_view.select("tag_a", "tag_b").distinct().collect()
-        }
+        pair_files: dict[tuple[int, int], list[str]] = {}
+        for d in _glob.glob(f"{out_dir}/pair/view/tag_a=*/tag_b=*"):
+            b = int(os.path.basename(d).split("=", 1)[1])
+            a = int(os.path.basename(os.path.dirname(d)).split("=", 1)[1])
+            pair_files[(a, b)] = sorted(_glob.glob(f"{d}/*.parquet"))
         tag_files = {}
         for d in _glob.glob(f"{out_dir}/tagview/tag=*"):
             t = int(os.path.basename(d).split("=", 1)[1])
             tag_files[t] = sorted(_glob.glob(f"{d}/*.parquet"))
+        cpdf = (
+            spark.read.parquet(f"{out_dir}/centroids")
+            .toPandas()
+            .sort_values("centroid_id")
+        )
+        C = np.stack(cpdf["centroid"].to_numpy()).astype(np.float64)
         for stale in [k for k in _ROUTE_CACHE if k[1] == out_dir]:
             del _ROUTE_CACHE[stale]
         hit = (
@@ -226,13 +263,94 @@ def _load_routing(spark: SparkSession, out_dir: str):
             int(meta["n_base"]),
             float(meta["min_freq"]),
             off,
-            pairs,
+            pair_files,
             tag_files,
-            pair_view,
-            pair_off,
+            C,
         )
         _ROUTE_CACHE[key] = hit
     return hit
+
+
+def _score_pairview(
+    spark: SparkSession,
+    pair_files: dict,
+    qpdf,
+    k: int,
+    off: np.ndarray,
+) -> DataFrame:
+    """R1, direct-read: qpdf(qid, qemb, tag_a, tag_b).  Only the PROBED
+    pairs' partition files are opened (driver-side dict lookup — the
+    partition-pruning the DataFrame route left to runtime DPP, which
+    measured a full 531 MB view read + JVM Arrow hop per batch at the
+    10M point); per pair group one GEMM per task unit."""
+    groups: dict = {}
+    for (a, b), grp in qpdf.groupby(["tag_a", "tag_b"]):
+        groups[(int(a), int(b))] = (
+            grp["qid"].to_numpy(dtype=np.int64),
+            np.stack(grp["qemb"].to_numpy()).astype(np.float64),
+        )
+    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
+    units = []
+    for pr in groups:
+        files = pair_files.get(pr, ())
+        if files:
+            units.extend(
+                (pr[0], pr[1], p, lo, hi)
+                for _pl, p, lo, hi in _rg_units(spark, list(files))
+            )
+    if not units:
+        return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE")
+    bc = spark.sparkContext.broadcast((groups, off, use_f32))
+    par = max(1, min(len(units), 4 * spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(units, par),
+        "tag_a INT, tag_b INT, path STRING, rg_lo INT, rg_hi INT",
+    )
+
+    def serve(it):
+        import pyarrow.parquet as pq
+
+        from filter_vectordb_spark.operators.knn import gemm_topk, task_topk_merge
+
+        bgroups, boff, bf32 = bc.value
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            for a, b, path, lo, hi in zip(
+                batch.column("tag_a").to_pylist(),
+                batch.column("tag_b").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("rg_lo").to_pylist(),
+                batch.column("rg_hi").to_pylist(),
+            ):
+                qg = bgroups.get((a, b))
+                if qg is None:
+                    continue
+                qids, Q = qg
+                tbl = pq.ParquetFile(path).read_row_groups(
+                    list(range(lo, hi)), columns=["id", "codes"]
+                )
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                ids = tbl.column("id").to_numpy(zero_copy_only=False)
+                X = _decode(tbl.column("codes"), None, n, boff, bf32)
+                xn = _sqnorms(X)
+                Qc = Q.astype(np.float32) if X.dtype == np.float32 else Q
+                qn = (Q * Q).sum(axis=1)
+                part, dist = gemm_topk(Qc, qn, X, xn, "l2", k)
+                out_q.append(np.repeat(qids, part.shape[1]))
+                out_i.append(ids[part].ravel())
+                out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
+
+    return fdf.mapInArrow(serve, schema="qid long, id long, dist double")
 
 
 #: (path, mtime_ns, size) → num_row_groups — staged index files are
@@ -286,16 +404,67 @@ def _flat_tags(tbl_col, n: int):
     return flat, row_of
 
 
+def _codes_matrix(col, n: int) -> np.ndarray:
+    """(n, d) int8 matrix over an Arrow fixed-length list column —
+    ZERO-COPY view when the buffers admit it (int8 values, no nulls:
+    the SQ8 code layout always does), else the copying flatten.  The
+    probed route's per-unit flatten copy (~47 MB/unit × every unit ×
+    every batch) was its dominant fixed cost — a view makes unprobed
+    rows genuinely free."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        offs = col.offsets.to_numpy(zero_copy_only=True)
+        flat = col.values.to_numpy(zero_copy_only=True)
+    except (pa.ArrowInvalid, ValueError):
+        from filter_vectordb_spark.operators.knn import flatten_fixed_list
+
+        return flatten_fixed_list(col, n)
+    flat = flat[offs[0] : offs[-1]]
+    d, rem = divmod(flat.size, max(1, n))
+    if rem:
+        raise ValueError("ragged codes column — fixed-length vectors required")
+    return flat.reshape(n, d)
+
+
+#: per-worker decode scratch, keyed by dtype — Python workers persist
+#: across tasks, so reusing one buffer avoids a fresh ~250 MB mmap +
+#: first-touch page-fault storm per unit (measured 2.5 s/unit on this
+#: host's THP-compacting kernel vs ~0.3 s into warm pages).  The buffer
+#: is only valid until the NEXT _decode call on the same worker; every
+#: caller finishes with a unit's block before decoding the next.
+_DECODE_SCRATCH: dict = {}
+
+
 def _decode(codes_col, rows: np.ndarray | None, n: int, off: np.ndarray, f32: bool):
     """Selected rows of the int8 code block, decoded to original values
-    (lossless grid): x = code + off."""
-    from filter_vectordb_spark.operators.knn import flatten_fixed_list
-
-    C = flatten_fixed_list(codes_col, n)
+    (lossless grid): x = code + off — ONE fused pass (int8 + f32
+    broadcasts straight to f32) into the reused scratch."""
+    C = _codes_matrix(codes_col, n)
     if rows is not None:
         C = C[rows]
-    X = np.ascontiguousarray(C).astype(np.float32) + off.astype(np.float32)
-    return X if f32 else X.astype(np.float64)
+    dt = np.float32 if f32 else np.float64
+    need = C.shape[0] * C.shape[1]
+    buf = _DECODE_SCRATCH.get(dt)
+    if buf is None or buf.size < need:
+        buf = np.empty(max(need, 1), dtype=dt)
+        _DECODE_SCRATCH[dt] = buf
+    X = buf[:need].reshape(C.shape)
+    np.add(C, off.astype(dt)[None, :], out=X)
+    return X
+
+
+def _sqnorms(X: np.ndarray) -> np.ndarray:
+    """Per-row squared norms as float64.  On the f32 integer-exact path
+    the products and every partial sum stay below 2²⁴, so one f32
+    einsum is BIT-exact — the per-group float64 matrix conversion it
+    replaces was the meta/tag kernels' single largest memory-traffic
+    term (192 × 8 B per candidate row)."""
+    if X.dtype == np.float32:
+        return np.einsum("ij,ij->i", X, X).astype(np.float64)
+    return np.einsum("ij,ij->i", X, X)
 
 
 def _score_tagview(
@@ -365,14 +534,10 @@ def _score_tagview(
                 if need_tags:
                     flat, row_of = _flat_tags(tbl.column("tags"), n)
                 X_all = _decode(tbl.column("codes"), None, n, boff, bf32)
-                xn_all = None
+                xn_all = _sqnorms(X_all)  # once per unit (f32-exact)
                 for other, qids, Q in tgroups:
                     if other < 0:
-                        Xc, ic = X_all, ids
-                        if xn_all is None:
-                            Xf = X_all.astype(np.float64)
-                            xn_all = (Xf * Xf).sum(axis=1)
-                        xc = xn_all
+                        Xc, ic, xc = X_all, ids, xn_all
                     else:
                         m = np.zeros(n, dtype=bool)
                         m[row_of[flat == other]] = True
@@ -381,14 +546,165 @@ def _score_tagview(
                             continue
                         Xc = np.ascontiguousarray(X_all[rows])
                         ic = ids[rows]
-                        Xf = Xc.astype(np.float64)
-                        xc = (Xf * Xf).sum(axis=1)
+                        xc = xn_all[rows]
                     Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
                     qn = (Q * Q).sum(axis=1)
                     part, dist = gemm_topk(Qc, qn, Xc, xc, "l2", k)
                     out_q.append(np.repeat(qids, part.shape[1]))
                     out_i.append(ic[part].ravel())
                     out_d.append(dist.ravel())
+        if out_q:
+            yield task_topk_merge(
+                np.concatenate(out_q),
+                np.concatenate(out_i),
+                np.concatenate(out_d),
+                k,
+                largest=False,
+            )
+
+    return fdf.mapInArrow(serve, schema="qid long, id long, dist double")
+
+
+def _score_tagview_probed(
+    spark: SparkSession,
+    tag_files: dict[int, list[str]],
+    qpdf,
+    k: int,
+    off: np.ndarray,
+    probes: np.ndarray,
+    nlist: int,
+) -> DataFrame:
+    """R2/R3 with the per-tag sub-index ACTUALLY pruning: each query
+    scans only its `probes` row's coarse lists inside the routed tag's
+    partition — the lst-sorted file layout turns a probe set into
+    binary-searched row ranges, the faiss IVF shape within each tag
+    (the reference's per-tag sub-indexes are approximate HNSW;
+    `filter/faiss/config.yaml:41-64`'s published 3,200 QPS is at the
+    0.9-recall gate, so this is the like-for-like operating mode).
+    Scanned rows are scored EXACTLY (decoded lossless codes, f64
+    distance assembly) — recall loss comes only from unprobed lists;
+    nprobe ≥ nlist reproduces the exact route bit-for-bit (pytest-
+    pinned)."""
+    groups: dict = {}
+    pos_of = {j: i for i, j in enumerate(qpdf.index)}
+    for (tag, other), grp in qpdf.groupby(["tag", "other"]):
+        rows = np.array([pos_of[j] for j in grp.index], dtype=np.int64)
+        groups.setdefault(int(tag), []).append(
+            (
+                int(other),
+                grp["qid"].to_numpy(dtype=np.int64),
+                np.stack(grp["qemb"].to_numpy()).astype(np.float64),
+                probes[rows],
+            )
+        )
+    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
+    units = []
+    for t in groups:
+        for p in tag_files.get(t, ()):
+            units.extend(
+                (t, pth, lo, hi) for _pl, pth, lo, hi in _rg_units(spark, [p])
+            )
+    if not units:
+        return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE")
+    bc = spark.sparkContext.broadcast((groups, off, use_f32, nlist))
+    par = max(1, min(len(units), 4 * spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(units, par),
+        "tag INT, path STRING, rg_lo INT, rg_hi INT",
+    )
+
+    def serve(it):
+        import pyarrow.parquet as pq
+
+        from filter_vectordb_spark.operators.knn import task_topk_merge
+
+        bgroups, boff, bf32, bnlist = bc.value
+        off32 = boff.astype(np.float32)
+        out_q, out_i, out_d = [], [], []
+        for batch in it:
+            for tag, path, lo, hi in zip(
+                batch.column("tag").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("rg_lo").to_pylist(),
+                batch.column("rg_hi").to_pylist(),
+            ):
+                tgroups = bgroups.get(tag)
+                if not tgroups:
+                    continue
+                need_tags = any(o >= 0 for o, _, _, _ in tgroups)
+                cols = ["id", "codes", "lst"] + (["tags"] if need_tags else [])
+                tbl = pq.ParquetFile(path).read_row_groups(
+                    list(range(lo, hi)), columns=cols
+                )
+                n = tbl.num_rows
+                if n == 0:
+                    continue
+                ids = tbl.column("id").to_numpy(zero_copy_only=False)
+                lst = tbl.column("lst").to_numpy(zero_copy_only=False)
+                C8 = _codes_matrix(tbl.column("codes"), n)
+                other_masks: dict[int, np.ndarray] = {}
+                flat = row_of = None
+                if need_tags:
+                    flat, row_of = _flat_tags(tbl.column("tags"), n)
+                # lst ascending within each file by the build's
+                # (tag, lst, id) sortWithinPartitions — probe sets become
+                # binary-searched row ranges.  GUARD, not assumption: a
+                # writer that re-sorts by partition columns (older
+                # layouts, foreign builds) hands back scrambled rows —
+                # re-sort locally instead of silently scanning the wrong
+                # lists (that failure measured recall ≈ nprobe/nlist)
+                if np.any(np.diff(lst) < 0):
+                    order = np.argsort(lst, kind="stable")
+                    ids, lst = ids[order], lst[order]
+                    C8 = np.ascontiguousarray(C8[order])
+                    if row_of is not None:
+                        inv = np.empty(n, dtype=np.int64)
+                        inv[order] = np.arange(n, dtype=np.int64)
+                        row_of = inv[row_of]
+                bounds = np.searchsorted(
+                    lst, np.arange(bnlist + 1, dtype=np.int64)
+                )
+                for other, qids, Q, P in tgroups:
+                    om = None
+                    if other >= 0:
+                        om = other_masks.get(other)
+                        if om is None:
+                            # row_of is already remapped if the unit was
+                            # locally re-sorted above
+                            om = np.zeros(n, dtype=bool)
+                            om[row_of[flat == other]] = True
+                            other_masks[other] = om
+                    for i in range(len(qids)):
+                        sel = np.concatenate(
+                            [
+                                np.arange(bounds[l], bounds[l + 1])
+                                for l in P[i]
+                            ]
+                        )
+                        if om is not None and len(sel):
+                            sel = sel[om[sel]]
+                        m = len(sel)
+                        if m == 0:
+                            continue
+                        q = Q[i]
+                        if bf32:  # integer-exact f32 gemv (knn_join contract)
+                            Xq = C8[sel].astype(np.float32) + off32[None, :]
+                            g = Xq @ q.astype(np.float32)
+                        else:
+                            Xq = C8[sel].astype(np.float64) + boff[None, :]
+                            g = Xq @ q
+                        xn = _sqnorms(Xq)
+                        dist = (
+                            float(q @ q) - 2.0 * g.astype(np.float64) + xn
+                        )
+                        np.maximum(dist, 0.0, out=dist)
+                        if m > k:
+                            pk = np.argpartition(dist, k - 1)[:k]
+                        else:
+                            pk = np.arange(m)
+                        out_q.append(np.full(len(pk), qids[i], dtype=np.int64))
+                        out_i.append(ids[sel[pk]])
+                        out_d.append(dist[pk])
         if out_q:
             yield task_topk_merge(
                 np.concatenate(out_q),
@@ -476,7 +792,7 @@ def _score_meta(
                     ptag, np.arange(len(bprobed) + 1, dtype=np.int64)
                 )
                 X_all = None
-                xn_full = None
+                xn_all = None
                 for need_idx, qids, Q in bgroups:
                     if len(need_idx) == 0:
                         rows = None  # empty conjunction: every row
@@ -493,17 +809,13 @@ def _score_meta(
                             continue
                     if X_all is None:
                         X_all = _decode(tbl.column("codes"), None, n, boff, bf32)
+                        xn_all = _sqnorms(X_all)  # once per unit (f32-exact)
                     if rows is None:
-                        Xc, ic = X_all, ids
-                        if xn_full is None:
-                            Xf = X_all.astype(np.float64)
-                            xn_full = (Xf * Xf).sum(axis=1)
-                        xc = xn_full
+                        Xc, ic, xc = X_all, ids, xn_all
                     else:
                         Xc = np.ascontiguousarray(X_all[rows])
                         ic = ids[rows]
-                        Xf = Xc.astype(np.float64)
-                        xc = (Xf * Xf).sum(axis=1)
+                        xc = xn_all[rows]
                     Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
                     qn = (Q * Q).sum(axis=1)
                     part, dist = gemm_topk(Qc, qn, Xc, xc, "l2", k)
@@ -558,17 +870,28 @@ def filtered_search(
     out_dir: str,
     queries: DataFrame,
     k: int = 10,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Serve a query batch through the built index.  queries: (qid,
     qemb, qtags ARRAY<INT>, 0-2 tags).  Returns (qid, id, dist, rank);
     a query whose conjunction matches no doc is absent (the harness's
     -1 padding is W2's job).  Routing is the reference's min-frequency
     rule (`filter/faiss/faiss.py:378-385`): rarer-tag ndoc < min_freq·n
-    → metadata-first; else the prebuilt pair/tag partitions."""
+    → metadata-first; else the prebuilt pair/tag partitions.
+
+    nprobe: None serves the tag-view routes EXACTLY (full partition
+    scan — recall 1.0 everywhere).  An integer serves them through the
+    per-tag IVF layout (each query scans only its nprobe nearest coarse
+    lists — the reference's per-tag sub-indexes are likewise
+    approximate, its 3,200 QPS is AT the 0.9-recall gate); the pair
+    and metadata-first routes stay exact either way, mirroring the
+    reference's hybrid (selective queries are exact brute force there
+    too, `filter/faiss/faiss.py:392-399`).  nprobe ≥ nlist reproduces
+    the exact result bit-for-bit."""
     import filter_vectordb_spark.operators.knn as _knn
 
-    (ndoc, n_base, min_freq, off, pairs, tag_files, pair_view, pair_off) = (
-        _load_routing(spark, out_dir)
+    (ndoc, n_base, min_freq, off, pair_files, tag_files, C) = _load_routing(
+        spark, out_dir
     )
     qpdf = queries.select("qid", "qemb", "qtags").limit(
         _knn.MAX_BROADCAST_QUERIES
@@ -581,19 +904,35 @@ def filtered_search(
     if len(qpdf) == 0:
         return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE, rank INT")
     r_pair, r_tag, r_meta, tag_col, other_col = _route(
-        qpdf["qtags"], ndoc, min_freq * n_base, pairs, tag_files
+        qpdf["qtags"], ndoc, min_freq * n_base, pair_files, tag_files
     )
     parts = []
     if r_pair:
         pp = qpdf.iloc[r_pair].copy()
         tt = np.array([sorted({int(x) for x in t}) for t in pp["qtags"]])
         pp["tag_a"], pp["tag_b"] = tt[:, 0], tt[:, 1]
-        parts.append(_score_pair_chunk(spark, pair_view, pp, k, pair_off))
+        parts.append(_score_pairview(spark, pair_files, pp, k, off))
     if r_tag:
         tp = qpdf.iloc[r_tag].copy()
         tp["tag"] = tag_col[r_tag]
         tp["other"] = other_col[r_tag]
-        parts.append(_score_tagview(spark, tag_files, tp, k, off))
+        if nprobe is None or nprobe >= len(C):
+            parts.append(_score_tagview(spark, tag_files, tp, k, off))
+        else:
+            from filter_vectordb_spark.index.ivfsq import driver_blas
+
+            # per-query probe lists: rank the shared coarse centroids by
+            # L2 — a bounded nq×nlist block, driver-side with borrowed
+            # BLAS cores (restored on exit)
+            Q = np.stack(tp["qemb"].to_numpy()).astype(np.float64)
+            with driver_blas(os.cpu_count() or 8):
+                d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
+            P = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe].astype(
+                np.int64
+            )
+            parts.append(
+                _score_tagview_probed(spark, tag_files, tp, k, off, P, len(C))
+            )
     if r_meta:
         parts.append(
             _score_meta(spark, f"{out_dir}/codes", qpdf.iloc[r_meta], k, off)

@@ -297,18 +297,20 @@ def _yfcc_index_dir(spark: SparkSession, key: str, n: int) -> str:
     )
     from filter_vectordb_spark.sources.synth import synth_yfcc_base
 
-    out = _index_cache_dir(key, "fidx")
+    # _v2: tag views carry the shared coarse quantizer's list id
+    # (lst-sorted files) + centroids/ — the nprobe-gated serving layout
+    out = _index_cache_dir(key, "fidx_v3")
     if not index_is_built(out):
         build_filtered_index(synth_yfcc_base(spark, n=n), out)
     return out
 
 
 def _yfcc100k_index(spark: SparkSession) -> str:
-    return _yfcc_index_dir(spark, "yfcc100k_v1", 100_000)
+    return _yfcc_index_dir(spark, "yfcc100k_v2", 100_000)
 
 
 def _yfcc10m_index(spark: SparkSession) -> str:
-    return _yfcc_index_dir(spark, "yfcc10m_v1", 10_000_000)
+    return _yfcc_index_dir(spark, "yfcc10m_v2", 10_000_000)
 
 
 def _yfcc_queries_staged(spark: SparkSession, nq: int) -> DataFrame:
@@ -316,7 +318,7 @@ def _yfcc_queries_staged(spark: SparkSession, nq: int) -> DataFrame:
     in-distribution off-corpus embeddings)."""
     from filter_vectordb_spark.sources.synth import synth_yfcc_queries
 
-    out = _index_cache_dir("yfcc_queries_v1", f"nq{nq}")
+    out = _index_cache_dir("yfcc_queries_v2", f"nq{nq}")
     if not _is_built(out):
         synth_yfcc_queries(spark, nq=nq).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)

@@ -155,14 +155,25 @@ cand AS (
   HAVING COUNT(*) = c.nt
 ),
 eq AS (
-  SELECT i.range AS qid, j.range AS j,
-         (xor((i.range+16777216)*2654435761, (j.range+1)*2246822519) >> 11) % 251 AS v
-  FROM range(32) i, range(192) j
+  -- clustered emb at id' = qid + 2^24: cluster c = (id'*K1 >> 7) % 1024,
+  -- v = center(c, j) + noise(id', j)  (sources/synth.yfcc_emb_matrix)
+  SELECT qid, j,
+         ((xor((cl+1)*3266489917, (j+1)*668265263)) >> 9) % 192
+         + ((xor((qid+16777216)*2654435761, (j+1)*2246822519)) >> 11) % 59 AS v
+  FROM (
+    SELECT i.range AS qid, j.range AS j,
+           (((i.range+16777216)*2654435761) >> 7) % 1024 AS cl
+    FROM range(32) i, range(192) j
+  )
 ),
 ed AS (
-  SELECT c.id, j.range AS j,
-         (xor(c.id*2654435761, (j.range+1)*2246822519) >> 11) % 251 AS v
-  FROM (SELECT DISTINCT id FROM cand) c, range(192) j
+  SELECT id, j,
+         ((xor((cl+1)*3266489917, (j+1)*668265263)) >> 9) % 192
+         + ((xor(id*2654435761, (j+1)*2246822519)) >> 11) % 59 AS v
+  FROM (
+    SELECT d.id, j.range AS j, ((d.id*2654435761) >> 7) % 1024 AS cl
+    FROM (SELECT DISTINCT id FROM cand) d, range(192) j
+  )
 ),
 dist AS (
   SELECT c.qid, c.id, SUM((eq.v - ed.v)*(eq.v - ed.v)) AS dist
@@ -236,6 +247,121 @@ def filtered_knn_yfcc_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _yfcc10m_index(spark)
     q = _yfcc_queries_staged(spark, nq=8192)
     return filtered_search(spark, out, q, 10).select("qid", "rank", "id")
+
+
+_YFCC_10M_NPROBE = 4  # operating point: the smallest grid nprobe whose
+# TAG-ROUTE recall clears the track's 0.9 gate on the 10M fixture —
+# measured 0.9479 (grid: 1 → 0.5442, 2 → 0.7909, 4 → 0.9479,
+# 8 → 0.9777, 16 → 0.9880 tag-route; whole-set 0.9864 at the operating
+# point) via filtered_yfcc_recall_curve_10m.  The gate uses the
+# STRICTER tag-route-only denominator: whole-set recall is higher
+# because the pair/metadata routes stay exact — the reference's own
+# hybrid structure.  Pinned in tests/test_filteridx_scale.py.
+
+
+@register("filtered_knn_yfcc_10m_ivf")  # bench-scale point — rows-only (approximate by design)
+def filtered_knn_yfcc_10m_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE row 1's own operating MODE at its own scale: the same
+    8,192-query yfcc-shaped batch as filtered_knn_yfcc_10m, but the
+    tag-view routes serve through the per-tag IVF layout at
+    nprobe=_YFCC_10M_NPROBE — each frequent-tag query scans only its
+    nearest coarse lists inside the routed partition, the faiss-baseline
+    shape (IVF16384,SQ8 @ the 0.9-recall gate → 3,200 QPS on 8 vCPUs;
+    the reference's per-tag sub-indexes are approximate HNSW).  The
+    pair and metadata-first routes stay exact, mirroring its hybrid.
+    Scanned rows are scored exactly (lossless codes, f64 assembly) —
+    pruning loses candidates, never corrupts scores (pytest-pinned);
+    the exact anchor is filtered_knn_yfcc_10m and the measured grid is
+    filtered_yfcc_recall_curve_10m."""
+    from filter_vectordb_spark.index.filteridx import filtered_search
+    from filter_vectordb_spark.queries.fixtures import (
+        _yfcc10m_index,
+        _yfcc_queries_staged,
+    )
+
+    out = _yfcc10m_index(spark)
+    q = _yfcc_queries_staged(spark, nq=8192)
+    return filtered_search(spark, out, q, 10, nprobe=_YFCC_10M_NPROBE).select(
+        "qid", "rank", "id"
+    )
+
+
+@register("filtered_yfcc_recall_curve_10m")  # rows-only: QPS is wall-clock, inherently non-oracle-able
+def filtered_yfcc_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter track's figure of merit at the baseline's own scale:
+    tie-aware recall@10 + QPS per nprobe grid point on a 1,024-query
+    sample, measured against the EXACT router's own results (the
+    in-engine ground truth — every returned dist is an exact f64 L2²,
+    so `dist ≤ exact kth` is the big-ann-benchmarks hit rule).  Two
+    recalls per point: whole-set (the reference's published metric —
+    its selective queries are exact metadata-first too) and
+    TAG-ROUTE-ONLY (the stricter denominator over just the approximate
+    route; the operating point gates on THIS one, recorded in qargs)."""
+    import os
+    import tempfile
+    import time
+
+    from filter_vectordb_spark.harness.runner import write_curve
+    from filter_vectordb_spark.index.filteridx import (
+        _load_routing,
+        _route,
+        filtered_search,
+    )
+    from filter_vectordb_spark.queries.fixtures import (
+        _yfcc10m_index,
+        _yfcc_queries_staged,
+    )
+
+    out = _yfcc10m_index(spark)
+    # qid % 16 < 2 keeps one EVEN and one ODD qid per stride — even qids
+    # are 1-tag queries and odd 2-tag by construction, so a same-parity
+    # sample (the first cut used qid % 8 == 0) measured only the
+    # single-tag route mix
+    q = _yfcc_queries_staged(spark, nq=8192).filter(F.col("qid") % 16 < 2)
+    nq = 1024
+    exact = filtered_search(spark, out, q, 10).toPandas()
+    kth = exact.groupby("qid")["dist"].max().to_dict()
+    n_ex = exact.groupby("qid").size().to_dict()
+    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C = _load_routing(
+        spark, out
+    )
+    qpdf = q.select("qid", "qtags").toPandas()
+    _rp, r_tag, _rm, _tc, _oc = _route(
+        qpdf["qtags"], ndoc, min_freq * n_base, pair_files, tag_files
+    )
+    tag_qids = set(qpdf.iloc[r_tag]["qid"].astype(int))
+    records = []
+    for nprobe in (1, 2, 4, _YFCC_10M_NPROBE, 16, 32):
+        t0 = time.perf_counter()
+        res = filtered_search(spark, out, q, 10, nprobe=nprobe).toPandas()
+        wall = time.perf_counter() - t0
+        hits = tag_hits = tag_den = 0
+        for r in res.itertuples():
+            ok = r.dist <= kth[r.qid]
+            hits += ok
+            if int(r.qid) in tag_qids:
+                tag_hits += ok
+        den = sum(n_ex.values())
+        tag_den = sum(v for k_, v in n_ex.items() if int(k_) in tag_qids)
+        records.append(
+            {
+                "engine": "filtered_yfcc_10m",
+                "qargs": (
+                    f"nprobe={nprobe}"
+                    f" tag_route_recall={tag_hits / max(1, tag_den):.4f}"
+                ),
+                "recall_at_k": hits / max(1, den),
+                "qps": float(nq) / wall,
+                "k": 10,
+            }
+        )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "fvdb_results",
+        "yfcc10m_v2",
+        "filtered_yfcc_recall_curve_10m",
+    )
+    return write_curve(spark, records, dest)
 
 
 @register("knn_ip_100k")  # bench-scale point — rows-only (oracle infeasible at this size)

@@ -257,6 +257,34 @@ _YFCC_LEVELS = 18
 _YFCC_DRAWS = 4
 YFCC_VOCAB = (1 << _YFCC_LEVELS) - 1  # 262,143 tags (yfcc: 200,386)
 
+# Embeddings for the yfcc-shaped corpus are CLUSTERED (center + bounded
+# noise), not iid-uniform: real encoder embeddings (yfcc's CLIP vectors,
+# msturing) concentrate around modes — that geometry is what makes the
+# reference's IVF/HNSW serving work at all.  The first cut reused the
+# iid-uniform v2 pattern and measured the textbook consequence at 10M:
+# within-tag true neighbors spread across so many Voronoi cells that
+# coarse probing never cleared 0.71 recall even at nprobe=32 of 3162 —
+# no sublinear method has purchase on structureless uniform data, so a
+# uniform corpus would rig the filter-track comparison AGAINST every
+# indexed engine (the mirror image of the r7 in-distribution-queries
+# flaw).  1,024 centers ≈ 9.8k docs/cluster at 10M; all values stay
+# integers ≤ 249 (f32-exact contract) and closed-form SQL-recomputable.
+_YFCC_NCL = 1_024
+
+
+def yfcc_emb_matrix(ids: np.ndarray, d: int = SCALE_D) -> np.ndarray:
+    """(n, d) int64 clustered embedding block — the closed-form twin
+    DuckDB oracles regenerate: cluster c = (id·K1 >> 7) % 1024,
+    center[c,j] = (((c+1)·K4 ^ (j+1)·K5) >> 9) % 192 (inter-cluster
+    spread), value = center + ((id·K1 ^ (j+1)·K3) >> 11) % 59
+    (intra-cluster noise) ∈ 0..249."""
+    ids = np.asarray(ids, dtype=np.int64)
+    js = np.arange(d, dtype=np.int64)
+    c = ((ids * _K1) >> 7) % _YFCC_NCL
+    center = (((c[:, None] + 1) * _K4) ^ ((js[None, :] + 1) * _K5)) >> 9
+    noise = ((ids[:, None] * _K1) ^ ((js[None, :] + 1) * _K3)) >> 11
+    return center % 192 + noise % 59
+
 
 def yfcc_draws(ids: np.ndarray, ndraws: int = _YFCC_DRAWS) -> np.ndarray:
     """(n, ndraws) int64 raw tag draws — the closed-form numpy twin the
@@ -286,18 +314,17 @@ def _dedup_rows(T: np.ndarray) -> np.ndarray:
 def synth_yfcc_base(
     spark: SparkSession, n: int = SCALE_N, d: int = SCALE_D
 ) -> DataFrame:
-    """(id, emb ARRAY<INT> 0..250, tags ARRAY<INT>, sig BIGINT) — the
-    v2 embedding pattern under the yfcc-shaped dyadic-Zipf tag model
-    (1-4 distinct tags per doc, draw order preserved)."""
+    """(id, emb ARRAY<INT> 0..249, tags ARRAY<INT>, sig BIGINT) — the
+    clustered yfcc-shaped embedding pattern (yfcc_emb_matrix) under the
+    dyadic-Zipf tag model (1-4 distinct tags per doc, draw order
+    preserved)."""
 
     def gen(it):
         import pandas as pd
 
-        js = np.arange(d, dtype=np.int64)
         for pdf in it:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            H = (ids[:, None] * _K1) ^ ((js[None, :] + 1) * _K3)
-            E = ((H >> 11) % 251).astype(np.int32)
+            E = yfcc_emb_matrix(ids, d).astype(np.int32)
             T = yfcc_draws(ids).astype(np.int32)
             keep = _dedup_rows(T)
             yield pd.DataFrame(
@@ -327,23 +354,21 @@ def synth_yfcc_queries(
     nq: int = SCALE_NQ,
     d: int = SCALE_D,
 ) -> DataFrame:
-    """(qid, qemb, qtags) — qemb is the v2 base pattern at 2^24 + qid
-    (in-distribution, off-corpus); qtags are the first 1 + qid % 2
-    distinct draws of DOC qid (capped at the doc's distinct count), so
-    every conjunction matches ≥ 1 corpus doc (doc qid itself, for any
-    corpus with n > qid) and the 1-/2-tag mix spans the Zipf
-    selectivity range — the yfcc query regime (`filter/run.py:10-12`,
-    1-2 conjunctive tags)."""
+    """(qid, qemb, qtags) — qemb is the clustered base pattern at
+    2^24 + qid (in-distribution, off-corpus — queries land in valid
+    corpus clusters without being corpus rows); qtags are the first
+    1 + qid % 2 distinct draws of DOC qid (capped at the doc's distinct
+    count), so every conjunction matches ≥ 1 corpus doc (doc qid
+    itself, for any corpus with n > qid) and the 1-/2-tag mix spans the
+    Zipf selectivity range — the yfcc query regime
+    (`filter/run.py:10-12`, 1-2 conjunctive tags)."""
 
     def gen(it):
         import pandas as pd
 
-        js = np.arange(d, dtype=np.int64)
         for pdf in it:
             qids = pdf["id"].to_numpy(dtype=np.int64)
-            ids = qids + _YFCC_Q_OFFSET
-            H = (ids[:, None] * _K1) ^ ((js[None, :] + 1) * _K3)
-            E = ((H >> 11) % 251).astype(np.int32)
+            E = yfcc_emb_matrix(qids + _YFCC_Q_OFFSET, d).astype(np.int32)
             T = yfcc_draws(qids).astype(np.int32)
             keep = _dedup_rows(T)
             nsel = 1 + (qids % 2)

@@ -110,12 +110,12 @@ def test_filtered_search_matches_bruteforce(spark, built):
     np.testing.assert_allclose(got["dist"], want["dist"], rtol=0, atol=0)
     # the batch must exercise every route at this size, or the test
     # silently shrinks to one path
-    ndoc, n_base, min_freq, _off, pairs, tag_files, _pv, _po = _load_routing(
+    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C = _load_routing(
         spark, out
     )
     qpdf = q.toPandas()
     r_pair, r_tag, r_meta, _, _ = _route(
-        qpdf["qtags"], ndoc, min_freq * n_base, pairs, tag_files
+        qpdf["qtags"], ndoc, min_freq * n_base, pair_files, tag_files
     )
     assert r_pair and r_tag and r_meta
 
@@ -139,6 +139,56 @@ def test_filtered_search_edge_queries(spark, built):
     ).toPandas()
     g0 = got.sort_values("rank")
     assert g0["id"].tolist() == want.sort_values("rank")["id"].tolist()
+
+
+def test_probed_full_probe_equals_exact(spark, built):
+    """nprobe ≥ nlist must reproduce the exact route bit-for-bit — every
+    list probed ⇒ the same rows scored with the same f64 assembly (the
+    knn_ip_1m_nq8 full-probe discipline)."""
+    import json
+
+    out, _base = built
+    with open(f"{out}/meta.json") as fh:
+        nlist = json.load(fh)["nlist"]
+    q = synth_yfcc_queries(spark, nq=64)
+    exact = (
+        filtered_search(spark, out, q, k=10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        filtered_search(spark, out, q, k=10, nprobe=nlist)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, full)
+
+
+def test_probed_recall_and_exact_subscores(spark, built):
+    """Small-nprobe serving: every returned (qid, id, dist) is a TRUE
+    exact distance (pruning loses candidates, never corrupts scores),
+    and tag-route recall against the exact route is sane (> 0.5 at
+    nprobe=4 on the 20k fixture) and 1.0-bounded."""
+    out, _base = built
+    q = synth_yfcc_queries(spark, nq=64)
+    exact = filtered_search(spark, out, q, k=10).toPandas()
+    approx = filtered_search(spark, out, q, k=10, nprobe=4).toPandas()
+    ex = exact.set_index(["qid", "id"])["dist"]
+    ap = approx.set_index(["qid", "id"])["dist"]
+    shared = ap.index.intersection(ex.index)
+    assert len(shared) > 0
+    np.testing.assert_allclose(ap.loc[shared], ex.loc[shared], rtol=0, atol=0)
+    # tie-aware recall: an approx id counts when its dist ties-or-beats
+    # the exact kth for its query
+    kth = exact.groupby("qid")["dist"].max()
+    nex = exact.groupby("qid").size()
+    hits = sum(
+        1 for r in approx.itertuples() if r.dist <= kth.loc[r.qid]
+    )
+    recall = hits / int(nex.sum())
+    assert 0.5 < recall <= 1.0, recall
 
 
 def test_two_rare_tag_intersection(spark, built):
