@@ -40,6 +40,11 @@ _PRIORITY = [
     "filtered_knn_yfcc_10m",
     "filtered_knn_yfcc_10m_ivf",
     "streaming_replay_10m",
+    # r8 third wave: BASELINE row 4's delete_runbook pattern at the
+    # reference's own 10M scale (consolidation pressure + exact
+    # checkpoints); the yfcc rows above re-check the vectorized
+    # flat-pair R4/probed kernels from the driver side
+    "streaming_replay_10m_clustered",
     # new this round (r8): the hash-checked OOD serving twin (the 1M
     # nq=8 pipeline on the distribution-shifted query set, VERDICT r7
     # #1), the clustered delete-runbook replay with consolidation
@@ -72,7 +77,6 @@ _PRIORITY = [
     "sparse_mips_budget",
     "top_parts_per_brand",
     "events_hourly",
-    "orders_priority_rollup",
     "events_hourly_stream",
     "events_asof_join",
     "streaming_replay",
@@ -102,9 +106,9 @@ _PRIORITY = [
     "dedup_filtered_corpus",
     # every other query was driver-green in r7 (CORRECTNESS_r07) and
     # stays registered + pytest-checked; knn_l2_batch,
-    # q4_order_priority, customer_running_total, sparse_csr_roundtrip
-    # and binfmt_fetch_roundtrip yielded their r8 slots to the
-    # second-wave yfcc/10M rows above and re-enter in r9.
+    # q4_order_priority, customer_running_total, sparse_csr_roundtrip,
+    # binfmt_fetch_roundtrip and orders_priority_rollup yielded their
+    # r8 slots to the yfcc/10M rows above and re-enter in r9.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

@@ -521,8 +521,10 @@ def _score_tagview(
                 tgroups = bgroups.get(tag)
                 if not tgroups:
                     continue
-                need_tags = any(o >= 0 for o, _, _ in tgroups)
-                cols = ["id", "codes"] + (["tags"] if need_tags else [])
+                others = np.array(
+                    sorted({o for o, _, _ in tgroups if o >= 0}), dtype=np.int64
+                )
+                cols = ["id", "codes"] + (["tags"] if len(others) else [])
                 tbl = pq.ParquetFile(path).read_row_groups(
                     list(range(lo, hi)), columns=cols
                 )
@@ -530,29 +532,69 @@ def _score_tagview(
                 if n == 0:
                     continue
                 ids = tbl.column("id").to_numpy(zero_copy_only=False)
-                flat = row_of = None
-                if need_tags:
+                starts = prow = None
+                if len(others):
+                    # every unit row already carries THIS tag, so the
+                    # conjunction candidates of a (tag, other) group are
+                    # exactly `other`'s posting list within the unit
                     flat, row_of = _flat_tags(tbl.column("tags"), n)
+                    _pt, prow, starts = _hit_lists(
+                        flat, row_of, others, _probed_lut(others)
+                    )
                 X_all = _decode(tbl.column("codes"), None, n, boff, bf32)
                 xn_all = _sqnorms(X_all)  # once per unit (f32-exact)
+                # masked 2-tag groups: flat (query, row) pairs, scored in
+                # one chunked integer-exact einsum (the per-group slice +
+                # BLAS-call loop ran |others| × units times)
+                pq_, pr = [], []
                 for other, qids, Q in tgroups:
                     if other < 0:
-                        Xc, ic, xc = X_all, ids, xn_all
-                    else:
-                        m = np.zeros(n, dtype=bool)
-                        m[row_of[flat == other]] = True
-                        rows = np.nonzero(m)[0]
-                        if len(rows) == 0:
-                            continue
-                        Xc = np.ascontiguousarray(X_all[rows])
-                        ic = ids[rows]
-                        xc = xn_all[rows]
-                    Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
-                    qn = (Q * Q).sum(axis=1)
-                    part, dist = gemm_topk(Qc, qn, Xc, xc, "l2", k)
-                    out_q.append(np.repeat(qids, part.shape[1]))
-                    out_i.append(ic[part].ravel())
-                    out_d.append(dist.ravel())
+                        # single-tag group: the whole unit, GEMM-shaped
+                        Qc = (
+                            Q.astype(np.float32)
+                            if X_all.dtype == np.float32
+                            else Q
+                        )
+                        qn = (Q * Q).sum(axis=1)
+                        part, dist = gemm_topk(Qc, qn, X_all, xn_all, "l2", k)
+                        out_q.append(np.repeat(qids, part.shape[1]))
+                        out_i.append(ids[part].ravel())
+                        out_d.append(dist.ravel())
+                        continue
+                    oi = int(np.searchsorted(others, other))
+                    rows = prow[starts[oi] : starts[oi + 1]]
+                    if len(rows) == 0:
+                        continue
+                    m = len(qids)
+                    nb = sum(g[2].shape[0] for g in pq_)  # query-row base
+                    pq_.append(
+                        (
+                            np.repeat(qids, len(rows)),
+                            nb + np.repeat(np.arange(m, dtype=np.int64), len(rows)),
+                            Q,
+                            np.tile(rows, m),
+                        )
+                    )
+                if pq_:
+                    QU = np.concatenate([g[2] for g in pq_], axis=0)
+                    qidx = np.concatenate([g[1] for g in pq_])
+                    qid_cat = np.concatenate([g[0] for g in pq_])
+                    rows_cat = np.concatenate([g[3] for g in pq_])
+                    qn_u = (QU * QU).sum(axis=1)
+                    Qm = QU.astype(np.float32) if X_all.dtype == np.float32 else QU
+                    g = np.empty(len(rows_cat), dtype=np.float64)
+                    for clo in range(0, len(rows_cat), _PAIR_CHUNK):
+                        chi = min(clo + _PAIR_CHUNK, len(rows_cat))
+                        g[clo:chi] = np.einsum(
+                            "ij,ij->i",
+                            Qm[qidx[clo:chi]],
+                            X_all[rows_cat[clo:chi]],
+                        ).astype(np.float64)
+                    dist = qn_u[qidx] - 2.0 * g + xn_all[rows_cat]
+                    np.maximum(dist, 0.0, out=dist)
+                    out_q.append(qid_cat)
+                    out_i.append(ids[rows_cat])
+                    out_d.append(dist)
         if out_q:
             yield task_topk_merge(
                 np.concatenate(out_q),
@@ -674,37 +716,54 @@ def _score_tagview_probed(
                             om = np.zeros(n, dtype=bool)
                             om[row_of[flat == other]] = True
                             other_masks[other] = om
-                    for i in range(len(qids)):
-                        sel = np.concatenate(
-                            [
-                                np.arange(bounds[l], bounds[l + 1])
-                                for l in P[i]
-                            ]
-                        )
-                        if om is not None and len(sel):
-                            sel = sel[om[sel]]
-                        m = len(sel)
-                        if m == 0:
+                    # every query's probed row ranges IN ONE SHOT (the
+                    # per-query range-concatenate loop ran len(qids) ×
+                    # units times — its Python overhead, not the math,
+                    # dominated hot-tag groups): one multi-slice gather
+                    # over the (query, probe) range matrix
+                    plo = bounds[P]  # (m, nprobe) range starts
+                    cnt = bounds[P + 1] - plo
+                    ccnt = cnt.ravel()
+                    tot = int(ccnt.sum())
+                    if tot == 0:
+                        continue
+                    ofs = np.zeros(len(ccnt), dtype=np.int64)
+                    np.cumsum(ccnt[:-1], out=ofs[1:])
+                    rows = (
+                        np.arange(tot, dtype=np.int64)
+                        - np.repeat(ofs, ccnt)
+                        + np.repeat(plo.ravel(), ccnt)
+                    )
+                    qrep = np.repeat(
+                        np.arange(len(qids), dtype=np.int64), cnt.sum(axis=1)
+                    )
+                    if om is not None:
+                        keep = om[rows]
+                        rows, qrep = rows[keep], qrep[keep]
+                        if len(rows) == 0:
                             continue
-                        q = Q[i]
-                        if bf32:  # integer-exact f32 gemv (knn_join contract)
-                            Xq = C8[sel].astype(np.float32) + off32[None, :]
-                            g = Xq @ q.astype(np.float32)
-                        else:
-                            Xq = C8[sel].astype(np.float64) + boff[None, :]
-                            g = Xq @ q
-                        xn = _sqnorms(Xq)
-                        dist = (
-                            float(q @ q) - 2.0 * g.astype(np.float64) + xn
-                        )
-                        np.maximum(dist, 0.0, out=dist)
-                        if m > k:
-                            pk = np.argpartition(dist, k - 1)[:k]
-                        else:
-                            pk = np.arange(m)
-                        out_q.append(np.full(len(pk), qids[i], dtype=np.int64))
-                        out_i.append(ids[sel[pk]])
-                        out_d.append(dist[pk])
+                    # decode only the UNION of probed rows (the probed
+                    # route's point is never touching unprobed codes)
+                    ur, pos = np.unique(rows, return_inverse=True)
+                    if bf32:  # integer-exact f32 (knn_join contract)
+                        Xu = C8[ur].astype(np.float32) + off32[None, :]
+                        Qm = Q.astype(np.float32)
+                    else:
+                        Xu = C8[ur].astype(np.float64) + boff[None, :]
+                        Qm = Q
+                    xn_u = _sqnorms(Xu)
+                    qn = (Q * Q).sum(axis=1)
+                    g = np.empty(len(rows), dtype=np.float64)
+                    for clo in range(0, len(rows), _PAIR_CHUNK):
+                        chi = min(clo + _PAIR_CHUNK, len(rows))
+                        g[clo:chi] = np.einsum(
+                            "ij,ij->i", Qm[qrep[clo:chi]], Xu[pos[clo:chi]]
+                        ).astype(np.float64)
+                    dist = qn[qrep] - 2.0 * g + xn_u[pos]
+                    np.maximum(dist, 0.0, out=dist)
+                    out_q.append(qids[qrep])
+                    out_i.append(ids[rows])
+                    out_d.append(dist)
         if out_q:
             yield task_topk_merge(
                 np.concatenate(out_q),
@@ -717,41 +776,116 @@ def _score_tagview_probed(
     return fdf.mapInArrow(serve, schema="qid long, id long, dist double")
 
 
+#: pair-scoring chunk: per-chunk gather buffers are 2 × CH × d × 4 B
+#: (≈ 50 MB at d=192) — bounded however many candidate pairs a unit has
+_PAIR_CHUNK = 65_536
+
+#: build the probed-tag lookup table only while it stays broadcast-small
+#: (int32 LUT over 0..max_tag — 262k-tag yfcc vocab ≈ 1 MB); a sparse /
+#: huge / negative tag space falls back to binary search
+_LUT_MAX_TAG = 8_000_000
+
+
+def _probed_lut(probed: np.ndarray) -> np.ndarray | None:
+    if len(probed) == 0 or probed[0] < 0 or probed[-1] > _LUT_MAX_TAG:
+        return None
+    lut = np.full(int(probed[-1]) + 1, -1, dtype=np.int32)
+    lut[probed] = np.arange(len(probed), dtype=np.int32)
+    return lut
+
+
+def _hit_lists(flat, row_of, probed, lut):
+    """(ptag, prow, starts): probed-tag posting lists within a unit —
+    rows carrying probed tag probed[i] are prow[starts[i]:starts[i+1]],
+    row-ascending.  Membership via the O(1) LUT gather when the tag
+    space admits it, else one searchsorted sweep."""
+    if lut is not None:
+        safe = np.minimum(flat, len(lut) - 1)
+        pidx = lut[safe]
+        valid = (pidx >= 0) & (flat == safe) & (flat >= 0)
+        ptag = pidx[valid].astype(np.int64)
+    else:
+        pos = np.searchsorted(probed, flat)
+        valid = pos < len(probed)
+        valid[valid] = probed[pos[valid]] == flat[valid]
+        ptag = pos[valid]
+    prow = row_of[valid]
+    order = np.lexsort((prow, ptag))
+    ptag, prow = ptag[order], prow[order]
+    starts = np.searchsorted(ptag, np.arange(len(probed) + 1, dtype=np.int64))
+    return ptag, prow, starts
+
+
 def _score_meta(
     spark: SparkSession,
     codes_dir: str,
     qpdf,
     k: int,
     off: np.ndarray,
+    ndoc: dict | None = None,
 ) -> DataFrame:
     """R4: one direct-read pass over the codes table for ALL selective
     queries.  qpdf(qid, qemb, qtags).  Per task unit: flatten the tags
-    column once, one vectorized searchsorted membership against the
-    probed-tag array, lexsort the hits into per-tag row lists, then per
-    query group intersect (≤ 2 sorted lists) and GEMM only the
-    candidates — work ∝ Σ_q |candidates(q)| plus one metadata sweep,
-    never a candidate join shuffle."""
-    # group queries by their (sorted, deduped) conjunction
-    gkey: dict[tuple, list[int]] = {}
-    for j, t in enumerate(qpdf["qtags"]):
-        need = tuple(sorted({int(x) for x in (t if t is not None else ())}))
-        gkey.setdefault(need, []).append(j)
+    column once, one vectorized LUT membership pass against the probed
+    tags, lexsort the hits into per-tag posting lists, then build every
+    query's candidate (query, row) pairs IN ONE SHOT — a multi-slice
+    gather over each query's rarer-tag posting range, with the second
+    conjunct verified by one searchsorted over combined (tag, row) keys
+    — and score all pairs with a chunked integer-exact f32 einsum.
+    Work ∝ Σ_q |postings(rarer tag of q)| plus one metadata sweep; no
+    per-query Python loop (the prior per-conjunction-group loop ran
+    ~6k groups × ~128 units per 8k-query batch — its slice + BLAS-call
+    overhead, not the math, dominated the 10M row), and never a
+    candidate join shuffle.
+
+    ndoc (the routing stats) picks each 2-tag query's RARER conjunct so
+    the gather touches the smaller posting list — the reference's
+    min-frequency cost model (`filter/faiss/faiss.py:378-385`).
+    Conjunctions beyond 2 tags take a per-group sorted-intersection
+    path; an empty conjunction scans the unit via the blocked GEMM."""
     qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
     Q_all = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-    probed = np.array(
-        sorted({t for need in gkey for t in need}), dtype=np.int64
+    needs = [
+        sorted({int(x) for x in (t if t is not None else ())})
+        for t in qpdf["qtags"]
+    ]
+    probed = np.array(sorted({t for need in needs for t in need}), dtype=np.int64)
+    pidx_of = {int(t): i for i, t in enumerate(probed)}
+    scan_pos: list[int] = []  # empty conjunction → full scan
+    flat_pos: list[int] = []  # 1-2 tags → the vectorized pair kernel
+    flat_rarer: list[int] = []
+    flat_other: list[int] = []
+    multi: list[tuple] = []  # >2 tags → per-group sorted intersection
+    for j, need in enumerate(needs):
+        if not need:
+            scan_pos.append(j)
+        elif len(need) <= 2:
+            rarer = min(need, key=lambda t: (ndoc or {}).get(t, 0))
+            rest = [t for t in need if t != rarer]
+            flat_pos.append(j)
+            flat_rarer.append(pidx_of[rarer])
+            flat_other.append(pidx_of[rest[0]] if rest else -1)
+        else:
+            idx = np.array([pidx_of[t] for t in need], dtype=np.int64)
+            multi.append((idx, j))
+    scan_q = (qids_all[scan_pos], Q_all[scan_pos]) if scan_pos else None
+    fp = np.asarray(flat_pos, dtype=np.int64)
+    flat_q = (
+        qids_all[fp],
+        Q_all[fp],
+        np.asarray(flat_rarer, dtype=np.int64),
+        np.asarray(flat_other, dtype=np.int64),
     )
-    groups = []  # (need_idx int64[], qids, Q)
-    for need, pos in gkey.items():
-        idx = np.searchsorted(probed, np.array(need, dtype=np.int64))
-        p = np.asarray(pos, dtype=np.int64)
-        groups.append((idx, qids_all[p], Q_all[p]))
+    multi_q = [(idx, qids_all[j : j + 1], Q_all[j : j + 1]) for idx, j in multi]
     use_f32 = _f32_exact_ok(Q_all)
+    lut = _probed_lut(probed)
     files = sorted(_glob.glob(f"{codes_dir}/*.parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet files under {codes_dir}")
     units = _rg_units(spark, files, payload=0)
-    bc = spark.sparkContext.broadcast((groups, probed, off, use_f32))
+    bc = spark.sparkContext.broadcast(
+        (scan_q, flat_q, multi_q, probed, lut, off, use_f32)
+    )
     par = max(1, min(len(units), 4 * spark.sparkContext.defaultParallelism))
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(units, par),
@@ -763,7 +897,10 @@ def _score_meta(
 
         from filter_vectordb_spark.operators.knn import gemm_topk, task_topk_merge
 
-        bgroups, bprobed, boff, bf32 = bc.value
+        bscan, bflat, bmulti, bprobed, blut, boff, bf32 = bc.value
+        fqids, fQ, frarer, fother = bflat
+        fQ32 = fQ.astype(np.float32)
+        fqn = (fQ * fQ).sum(axis=1)
         out_q, out_i, out_d = [], [], []
         for batch in it:
             for path, lo, hi in zip(
@@ -779,48 +916,90 @@ def _score_meta(
                     continue
                 ids = tbl.column("id").to_numpy(zero_copy_only=False)
                 flat, row_of = _flat_tags(tbl.column("tags"), n)
-                # vectorized membership: one searchsorted sweep over the
-                # flattened tags against the (sorted) probed array
-                pos = np.searchsorted(bprobed, flat)
-                valid = pos < len(bprobed)
-                valid[valid] = bprobed[pos[valid]] == flat[valid]
-                ptag = pos[valid]
-                prow = row_of[valid]
-                order = np.lexsort((prow, ptag))
-                ptag, prow = ptag[order], prow[order]
-                starts = np.searchsorted(
-                    ptag, np.arange(len(bprobed) + 1, dtype=np.int64)
-                )
-                X_all = None
-                xn_all = None
-                for need_idx, qids, Q in bgroups:
-                    if len(need_idx) == 0:
-                        rows = None  # empty conjunction: every row
-                    else:
-                        rows = prow[starts[need_idx[0]] : starts[need_idx[0] + 1]]
-                        for t in need_idx[1:]:
-                            other = prow[starts[t] : starts[t + 1]]
-                            # both sorted: membership via searchsorted
-                            p2 = np.searchsorted(other, rows)
-                            m = p2 < len(other)
-                            m[m] = other[p2[m]] == rows[m]
-                            rows = rows[m]
-                        if len(rows) == 0:
-                            continue
+                ptag, prow, starts = _hit_lists(flat, row_of, bprobed, blut)
+                X_all = xn_all = None
+
+                def unit_arrays():
+                    nonlocal X_all, xn_all
                     if X_all is None:
                         X_all = _decode(tbl.column("codes"), None, n, boff, bf32)
                         xn_all = _sqnorms(X_all)  # once per unit (f32-exact)
-                    if rows is None:
-                        Xc, ic, xc = X_all, ids, xn_all
-                    else:
-                        Xc = np.ascontiguousarray(X_all[rows])
-                        ic = ids[rows]
-                        xc = xn_all[rows]
+                    return X_all, xn_all
+
+                # ---- the 1-2-tag bulk: all candidate pairs in one shot
+                if len(fqids):
+                    cnt = starts[frarer + 1] - starts[frarer]
+                    tot = int(cnt.sum())
+                else:
+                    tot = 0
+                if tot:
+                    qrep = np.repeat(np.arange(len(fqids), dtype=np.int64), cnt)
+                    ofs = np.zeros(len(cnt), dtype=np.int64)
+                    np.cumsum(cnt[:-1], out=ofs[1:])
+                    idx = (
+                        np.arange(tot, dtype=np.int64)
+                        - np.repeat(ofs, cnt)
+                        + np.repeat(starts[frarer], cnt)
+                    )
+                    rows = prow[idx]
+                    ho = fother[qrep]
+                    m2 = ho >= 0
+                    if m2.any():
+                        # (ptag, prow) is lexsorted and per-doc tags are
+                        # distinct → combined keys are strictly ascending
+                        keys = ptag * n + prow
+                        want = ho[m2] * n + rows[m2]
+                        p2 = np.searchsorted(keys, want)
+                        ok = p2 < len(keys)
+                        ok[ok] = keys[p2[ok]] == want[ok]
+                        keep = np.ones(tot, dtype=bool)
+                        keep[np.flatnonzero(m2)[~ok]] = False
+                        qrep, rows = qrep[keep], rows[keep]
+                if tot and len(qrep):
+                    X, xn = unit_arrays()
+                    Qm = fQ32 if X.dtype == np.float32 else fQ
+                    np_d = np.empty(len(qrep), dtype=np.float64)
+                    for plo in range(0, len(qrep), _PAIR_CHUNK):
+                        phi = min(plo + _PAIR_CHUNK, len(qrep))
+                        a = Qm[qrep[plo:phi]]
+                        b = X[rows[plo:phi]]
+                        g = np.einsum("ij,ij->i", a, b)
+                        np_d[plo:phi] = g.astype(np.float64)
+                    dist = fqn[qrep] - 2.0 * np_d + xn[rows]
+                    np.maximum(dist, 0.0, out=dist)
+                    out_q.append(fqids[qrep])
+                    out_i.append(ids[rows])
+                    out_d.append(dist)
+
+                # ---- >2-tag conjunctions: per-group sorted intersection
+                for need_idx, qids, Q in bmulti:
+                    rows = prow[starts[need_idx[0]] : starts[need_idx[0] + 1]]
+                    for t in need_idx[1:]:
+                        other = prow[starts[t] : starts[t + 1]]
+                        p2 = np.searchsorted(other, rows)
+                        m = p2 < len(other)
+                        m[m] = other[p2[m]] == rows[m]
+                        rows = rows[m]
+                    if len(rows) == 0:
+                        continue
+                    X, xn = unit_arrays()
+                    Xc = np.ascontiguousarray(X[rows])
                     Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
                     qn = (Q * Q).sum(axis=1)
-                    part, dist = gemm_topk(Qc, qn, Xc, xc, "l2", k)
+                    part, dist = gemm_topk(Qc, qn, Xc, xn[rows], "l2", k)
                     out_q.append(np.repeat(qids, part.shape[1]))
-                    out_i.append(ic[part].ravel())
+                    out_i.append(ids[rows][part].ravel())
+                    out_d.append(dist.ravel())
+
+                # ---- empty conjunction: every row, blocked GEMM
+                if bscan is not None:
+                    qids, Q = bscan
+                    X, xn = unit_arrays()
+                    Qc = Q.astype(np.float32) if X.dtype == np.float32 else Q
+                    qn = (Q * Q).sum(axis=1)
+                    part, dist = gemm_topk(Qc, qn, X, xn, "l2", k)
+                    out_q.append(np.repeat(qids, part.shape[1]))
+                    out_i.append(ids[part].ravel())
                     out_d.append(dist.ravel())
         if out_q:
             yield task_topk_merge(
@@ -935,7 +1114,9 @@ def filtered_search(
             )
     if r_meta:
         parts.append(
-            _score_meta(spark, f"{out_dir}/codes", qpdf.iloc[r_meta], k, off)
+            _score_meta(
+                spark, f"{out_dir}/codes", qpdf.iloc[r_meta], k, off, ndoc=ndoc
+            )
         )
     scored = parts[0]
     for p in parts[1:]:

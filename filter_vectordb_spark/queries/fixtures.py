@@ -375,6 +375,42 @@ def _synth_msturing1m_clustered(spark: SparkSession) -> tuple[DataFrame, str]:
     return spark.read.parquet(out), ypath
 
 
+def _synth_msturing10m_clustered(spark: SparkSession) -> tuple[DataFrame, str]:
+    """Stage (once) the cluster-permuted msturing-10M corpus plus its
+    delete-runbook YAML — BASELINE row 4 at the reference's OWN scale
+    (msturing-10M-clustered delete_runbook: 0.924 recall @ ~23 min,
+    `README.md:44`).  Same recipe as the 1M staging: 8 deterministic
+    k-means clusters, cluster-contiguous reindex, and
+    generate_delete_runbook's insert/range-delete/search interleave
+    under max_pts = 3/4 corpus so ST4 consolidation fires repeatedly."""
+    import os
+
+    from filter_vectordb_spark.index.ivf import build_ivf
+    from filter_vectordb_spark.streaming.clustered import (
+        cluster_permutation,
+        generate_delete_runbook,
+    )
+
+    out = _index_cache_dir("msturing10m_v1", "clustered_base")
+    ydir = _index_cache_dir("msturing10m_v1", "clustered_runbook")
+    ypath = os.path.join(ydir, "delete_runbook.yaml")
+    if not (_is_built(out) and os.path.exists(ypath)):
+        os.makedirs(ydir, exist_ok=True)
+        src = _synth_msturing10m(spark).filter(F.col("id") < 10_000_000)
+        assignments, _ = build_ivf(
+            src, nlist=8, max_iter=8, train_rows=100_000, coarse="numpy"
+        )
+        labeled = assignments.withColumnRenamed("centroid_id", "label")
+        permuted, offsets = cluster_permutation(labeled)
+        permuted.select(F.col("new_id").alias("id"), "emb").repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(out)
+        tmp = ypath + ".tmp"
+        generate_delete_runbook(offsets, tmp, dataset="msturing-10m-clustered")
+        os.replace(tmp, ypath)
+    return spark.read.parquet(out), ypath
+
+
 def _synth_msturing10m(spark: SparkSession) -> DataFrame:
     """Stage (once) the msturing-shaped 10M × 100-d fixture plus 8,192
     query rows (ids ≥ 10M relabel as qids) — BASELINE row 5's own scale

@@ -784,6 +784,38 @@ def streaming_replay_1m_clustered(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("streaming_replay_10m_clustered")  # reference-scale point — rows-only; registry-checked, wall documented in docs/RESULTS (too long for the bounded bench window)
+def streaming_replay_10m_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE row 4 at the reference's FULL scale: the
+    msturing-10M-CLUSTERED delete_runbook pattern — cluster-contiguous
+    inserts interleaved with range deletes and searches under
+    max_pts = 3/4 corpus, so ST4 threshold consolidation fires
+    repeatedly across the replay (the reference runs this at 0.924
+    recall in ~23 min on its 8-vCPU host, `README.md:44`;
+    `streaming/delete_runbook.yaml` is the 482-line original).  Exact
+    search at every checkpoint → recall 1.0 by construction.  4
+    checkpoints × 2,048 queries over the staged 10M × 100-d corpus.
+    Not benched (several minutes — the streaming_replay_10m precedent);
+    quiet-host wall lives in docs/RESULTS and the consolidation/
+    tombstone invariants are pytest-pinned on the same generator +
+    replayer at small scale."""
+    from filter_vectordb_spark.queries.fixtures import (
+        _synth_msturing10m,
+        _synth_msturing10m_clustered,
+    )
+    from filter_vectordb_spark.streaming.runbook import parse_runbook_yaml, replay
+
+    base, ypath = _synth_msturing10m_clustered(spark)
+    src = _synth_msturing10m(spark)
+    q = src.filter(F.col("id").between(10_000_000, 10_002_047)).select(
+        (F.col("id") - 10_000_000).alias("qid"), F.col("emb").alias("qemb")
+    )
+    rb = parse_runbook_yaml(ypath, "msturing-10m-clustered")
+    return replay(spark, base, rb, q, k=10, compute_dtype="float32").select(
+        "checkpoint", "qid", "rank", "id"
+    )
+
+
 @register("sparse_mips_100k")  # bench-scale point — rows-only (oracle infeasible at this size)
 def sparse_mips_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-honesty point for BASELINE row 2 (sparse track: linscan at

@@ -191,6 +191,55 @@ def test_probed_recall_and_exact_subscores(spark, built):
     assert 0.5 < recall <= 1.0, recall
 
 
+def test_probed_lut_and_fallback():
+    """_hit_lists membership: the O(1) LUT gather and the searchsorted
+    fallback (huge/negative tag space) must produce identical posting
+    lists — including out-of-range and unprobed tags in the flat sweep."""
+    from filter_vectordb_spark.index.filteridx import _hit_lists, _probed_lut
+
+    rng = np.random.default_rng(7)
+    probed = np.unique(rng.integers(0, 5000, size=64)).astype(np.int64)
+    flat = rng.integers(-10, 8000, size=4096).astype(np.int64)
+    row_of = rng.integers(0, 512, size=4096).astype(np.int64)
+    lut = _probed_lut(probed)
+    assert lut is not None
+    a = _hit_lists(flat, row_of, probed, lut)
+    b = _hit_lists(flat, row_of, probed, None)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # a vocabulary past the LUT bound refuses the table
+    assert _probed_lut(np.array([0, 2**40], dtype=np.int64)) is None
+    assert _probed_lut(np.array([-3, 7], dtype=np.int64)) is None
+
+
+def test_three_tag_conjunction(spark, built):
+    """R4 with a >2-tag conjunction exercises the per-group intersection
+    path beside the vectorized 1-2-tag pair kernel; pandas oracle."""
+    out, base = built
+    bp = base.select("id", "tags").toPandas()
+    pick = next(
+        (
+            [int(t) for t in r["tags"]][:3]
+            for _, r in bp.iterrows()
+            if len(r["tags"]) >= 3
+        ),
+        None,
+    )
+    assert pick is not None
+    ta, tb, tc = pick
+    q = synth_yfcc_queries(spark, nq=1).select(
+        "qid", "qemb", F.array(F.lit(ta), F.lit(tb), F.lit(tc)).alias("qtags")
+    )
+    got = filtered_search(spark, out, q, k=10).toPandas()
+    cand = {
+        int(r["id"])
+        for _, r in bp.iterrows()
+        if {ta, tb, tc} <= set(map(int, r["tags"]))
+    }
+    assert set(got["id"]) <= cand and len(got) == min(10, len(cand))
+    assert (got.sort_values("rank")["dist"].diff().dropna() >= 0).all()
+
+
 def test_two_rare_tag_intersection(spark, built):
     """R4 with a 2-tag conjunction of two RARE tags: the in-kernel
     sorted-posting intersection, checked against a pandas oracle."""
