@@ -39,6 +39,14 @@ SCALE_RUN_COUNT = int(os.environ.get("SPARK_GRAFT_SCALE_RUN_COUNT", "3"))
 # of the bounded bench wall chasing a number the runs array already
 # shows is noisy (the r8 verify run died at the 580s cap exactly here)
 RERUN_HARD_STOP_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_HARD_STOP_SEC", "90.0"))
+# global soft budget for the TIMED loop: past this many seconds of
+# measured wall, remaining queries run once (min-of-N degrades to
+# single-run, recorded as a 1-entry runs array — visible, not silent).
+# The driver's whole bench window is bounded; on a slow host min-of-3
+# on every scale row would blow it and truncate the recorded line,
+# which loses the entire bench round (r8: the first bench attempt on a
+# fresh microVM host died mid-loop with nothing recorded).
+SOFT_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_BUDGET", "420.0"))
 RERUN_COUNTS = {
     "filtered_knn_100k": SCALE_RUN_COUNT,
     "sparse_mips_100k": SCALE_RUN_COUNT,
@@ -75,6 +83,32 @@ RERUN_COUNTS = {
 }
 
 BENCH_QUERIES = [
+    # ---- the scale block runs FIRST (r8): these rows are min-of-N, so
+    # their run 1 absorbs worker-arena page-fault growth (see the warm
+    # note above) and the min discards it; running them late instead
+    # meant the global soft budget stripped exactly these rows' reruns
+    # and recorded first-run-inflated numbers.  Page-cache eviction —
+    # the old reason the 10M rows ran last — is moot on hosts whose RAM
+    # holds the whole fixture set, and the prefault pass above re-warms
+    # the file pages either way.
+    "filtered_knn_100k",
+    "filtered_knn_yfcc_100k",
+    "sparse_mips_100k",
+    # the 1M anchor warms the exact-scan kernel's allocation size
+    # classes for the single-run 10M anchor right after it
+    "knn_ip_1m",
+    "knn_ip_1m_ivfsq",
+    "knn_ip_10m",
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
+    "filtered_knn_yfcc_10m",
+    "filtered_knn_yfcc_10m_ivf",
+    "sparse_mips_1m",
+    "sparse_mips_8m84_budget",
+    "streaming_replay_1m",
+    "streaming_replay_1m_clustered",
+    # ---- the sub-second registry rows; the soft budget may single-run
+    # the tail of this section on a slow host, which costs nothing
     "knn_l2",
     "knn_cosine",
     "filtered_knn_router",
@@ -131,68 +165,12 @@ BENCH_QUERIES = [
     "sparse_csr_roundtrip",
     "streaming_clustered_replay",
     "streaming_dedup",
-    "filtered_knn_100k",
-    # BASELINE row 1 with the yfcc-shaped 262k-tag Zipf vocabulary
-    # (filtered_knn_100k's modular model serves only the pair-view
-    # route): the full 4-route mix at bench scale.  The 10M points sit
-    # in the 10M block below — running them here evicted the sparse
-    # corpora from this host's ~17 GB-capped page cache mid-loop
-    # (sparse_mips_8m84_budget measured 22-25 s vs its 5 s warm).
-    "filtered_knn_yfcc_100k",
-    "sparse_mips_100k",
-    # BASELINE row 2 within a decade of the reference's corpus (VERDICT
-    # r7 #5): 1,024 queries against the staged 1M-doc SPLADE-profile
-    # corpus through the doc-sharded segment scan, min-of-2 recorded.
-    # The full 8.84M point exists (sparse_mips_8m84, sweep-checked,
-    # RESULTS-documented) but is too variance-prone for the bounded
-    # bench wall — see the RERUN_COUNTS note
-    "sparse_mips_1m",
-    # BASELINE row 2 BEATEN at the reference's own corpus size:
-    # linscan's budgeted impact-ordered traversal over the 8.84M
-    # skewed-impact corpus, budget=2 = the smallest grid point
-    # clearing the 0.9 recall gate (measured 0.9091 vs the exact
-    # anchor) — 181 QPS vs linscan's 101 @ >=0.9.  The exact anchors
-    # stay un-benched (variance); recall grid in queries/scale.py
-    "sparse_mips_8m84_budget",
-    # the OOD pair (VERDICT r4 #1): exact 1M scan anchor vs the
-    # sub-linear IVF+SQ8 serving path — adjacent so the throughput
-    # multiple is read straight off the bench line; both best-of-3 with
-    # per-run times recorded (see "runs" in the output)
-    "knn_ip_1m",
-    "knn_ip_1m_ivfsq",
-    # the 10M OOD set (VERDICT r6 #1), r8: re-gated on the genuinely
-    # distribution-shifted query batch (synth_ood_queries — VERDICT r7
-    # #1) with 256-sample ground truth.  Exact anchor (single-run — see
-    # RERUN_COUNTS note) vs two recall-gated IVF+SQ8 operating points at
-    # BASELINE row 3's own scale, serving points min-of-3 with per-run
-    # times.  The recall/QPS grid itself
-    # (ood_recall_curve_10m) is produced as a persisted artifact by the
-    # warm phase but NOT timed here: its 6-point sweep is minutes of
-    # wall whose QPS columns are already recorded inside the artifact.
-    "knn_ip_10m",
-    "knn_ip_10m_ivfsq",
-    "knn_ip_10m_ivfsq_lo",
-    # BASELINE row 1 at the reference's OWN 10M scale and vocabulary
-    # shape: the exact 4-route router (recall 1.0) and the recall-gated
-    # per-tag-IVF operating mode (nprobe=4 — tag-route recall 0.9479,
-    # whole-set 0.9864; the faiss baseline's published 3,200 QPS on
-    # 8 vCPUs is itself AT the 0.9 gate).  Hash-checked twin:
-    # filtered_knn_yfcc_nq32; grid artifact: filtered_yfcc_recall_curve_10m
-    "filtered_knn_yfcc_10m",
-    "filtered_knn_yfcc_10m_ivf",
-    # reference-scale streaming points: the msturing-1M simple_runbook
-    # shape (VERDICT r6 #4, min-of-2 recorded) and BASELINE row 4's
-    # clustered delete-runbook pattern with repeated ST4 consolidation
-    # pressure (VERDICT r7 #4; single-run — a full replay is several
-    # jobs, RERUN_BELOW_SEC governs).  Exact checkpoint search → recall
-    # 1.0 by construction vs the reference's 0.906-0.958 / 0.924.
-    "streaming_replay_1m",
-    "streaming_replay_1m_clustered",
-    # knn_ip_100k (BASELINE row-3 point) is correctness-gated but NOT
-    # benched: its one long BLAS job amplifies host-load noise 5-10x
-    # (measured 6-15s clean vs 45-78s under steal bursts), which would
-    # make the recorded number environment, not plan; knn_ip_1m above is
-    # the bigger, less-constant-dominated version of the same anchor
+    # per-row documentation for the scale block above lives with the
+    # registrations in queries/scale.py; knn_ip_100k is correctness-
+    # gated but NOT benched (one long BLAS job amplifies host noise
+    # 5-10x — knn_ip_1m is the bigger, less-constant-dominated anchor),
+    # and the exact 8.84M sparse anchors stay un-benched for variance
+    # (see RERUN_COUNTS).
     "events_hourly_stream",
     # embedding_near_dup_lsh is correctness-gated but not benched: at
     # τ=0.45 hyperplane buckets barely prune (63° pairs collide in most
@@ -211,6 +189,15 @@ def main() -> None:
     # JVM/Arrow warm-up on the smallest fixture so codegen &c. are not
     # attributed to the first measured query
     registry.QUERIES["knn_l2"](spark, "/root/testdata/sf0.001").count()
+    # Worker-heap warmth is handled by ORDER, not an explicit fault job:
+    # session.py pins glibc to keep large blocks on the heap (no
+    # mmap/trim), so a worker pays its page-fault cost once per
+    # allocation size class.  The timed loop below runs the min-of-N
+    # scale rows FIRST — their run 1 absorbs the arena growth and the
+    # min discards it — and an explicit 600 MB/worker pre-fault job
+    # measured 236 s of the bounded window on the microVM host (fault
+    # throughput there is ~80 MB/s), which is exactly the cost the
+    # discarded first runs absorb for free.
     # Index fit() is not search: build the per-sf_dir index caches before
     # the timed loop, mirroring the reference's fit-then-measure protocol
     # (`filter/run.py:15-52` — BASELINE QPS numbers exclude build time).
@@ -306,6 +293,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}  # per-run times for the scale points
+    t_loop = time.perf_counter()
     # localCheckpoint blocks (replay state snapshots) are freed by the
     # ContextCleaner only after the Python refs drop AND the JVM GCs;
     # force both after a STATE-HEAVY query so its successor doesn't pay
@@ -335,6 +323,8 @@ def main() -> None:
             # warm measurement.
             best = float("inf")
             n_runs = RERUN_COUNTS.get(name, RUN_COUNT)
+            if time.perf_counter() - t_loop > SOFT_BUDGET_SEC:
+                n_runs = 1  # over soft budget: single-run the rest
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()

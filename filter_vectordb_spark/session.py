@@ -27,6 +27,34 @@ _BLAS_ENV = {
     "NUMEXPR_NUM_THREADS": "1",
 }
 
+#: glibc malloc tunables for the Python workers (inherited through the
+#: JVM → pyspark.daemon fork chain; glibc reads these at process start).
+#: Our kernels allocate large short-lived numpy blocks (decode buffers,
+#: gather temporaries, Arrow batches); by default glibc mmap()s those
+#: and munmap()s on free, so EVERY batch re-faults its pages.  On a
+#: normal kernel a fault is ~1 µs and this is noise; on a
+#: memory-ballooned microVM (measured on the round-8 bench host:
+#: ~45 µs/page — a fresh 0.5 GB numpy allocation cost 23 s where the
+#: warmed copy ran at 18 GB/s) it dominates ENTIRE queries, with
+#: run-to-run swings of 5-60× depending on what the allocator happened
+#: to reuse.  Keeping large blocks on the heap (no mmap, no trim) makes
+#: workers fault pages once and reuse them for the life of the process:
+#: the same allocation pattern measured 50 ms steady-state.  Worker
+#: high-water memory is bounded by its largest concurrent working set
+#: (~0.5-1 GB for the heaviest kernels), which local[32] accommodates;
+#: on a normal host the setting is the standard numerics tuning and
+#: merely avoids mmap churn.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_MAX_": "0",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    "MALLOC_TOP_PAD_": "134217728",
+    # pyarrow's bundled jemalloc/mimalloc pools release pages to the OS
+    # on their own schedule and ignore the glibc tunables — route Arrow
+    # buffer allocation (parquet reads, IPC batches) through the tuned
+    # system malloc so those pages are faulted once and reused too
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
 
 def get_spark(app_name: str = "filter_vectordb_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
@@ -34,7 +62,7 @@ def get_spark(app_name: str = "filter_vectordb_spark", cpus: int | None = None) 
     # local mode forks Python workers from this process — the env must be
     # set on the driver before the first worker spawns, AND as
     # executorEnv for completeness on a real cluster
-    for k, v in _BLAS_ENV.items():
+    for k, v in {**_BLAS_ENV, **_MALLOC_ENV}.items():
         os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -53,7 +81,7 @@ def get_spark(app_name: str = "filter_vectordb_spark", cpus: int | None = None) 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in _BLAS_ENV.items():
+    for k, v in {**_BLAS_ENV, **_MALLOC_ENV}.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
