@@ -125,3 +125,91 @@ def test_oracle_interval_generator_handles_range_and_empty_checkpoints():
     )
     out = _runbook_checkpoint_intervals(rb)
     assert out == [(1, [(0, 10)]), (3, []), (4, [(5, 8)])]
+
+
+def test_scale_runbook_preserves_structure():
+    """VERDICT r8 missing #2: integer-scaling the reference's VERBATIM
+    msturing-10M-clustered delete_runbook 10M→1M preserves the step
+    interleave, endpoint sharing, and the consolidation-pressure
+    profile (the pure-python trigger dry run fires the same number of
+    times at both scales)."""
+    from filter_vectordb_spark.streaming.runbook import (
+        scale_runbook,
+        simulate_replay_counters,
+    )
+
+    rb = parse_runbook_yaml(
+        "/root/reference/streaming/delete_runbook.yaml", "msturing-10M-clustered"
+    )
+    ops = [s.operation for s in rb.steps]
+    assert len(rb.steps) == 75
+    assert ops.count("insert") == 32 and ops.count("delete") == 10
+    assert ops.count("search") == 33
+    assert rb.max_pts == 6_000_000
+    sc = scale_runbook(rb, 1, 10)
+    assert sc.max_pts == 600_000
+    assert [s.operation for s in sc.steps] == ops
+    # shared endpoints stay shared; ranges stay non-empty and ordered
+    for a, b in zip(rb.steps, sc.steps):
+        if a.operation in ("insert", "delete"):
+            assert b.start == a.start // 10 and b.end == a.end // 10
+            assert b.start < b.end
+    # the trigger dry run is scale-invariant for a uniform 1/10 scaling
+    sim10 = simulate_replay_counters(rb)
+    sim1 = simulate_replay_counters(sc)
+    assert sim10["searches"] == sim1["searches"] == 33
+    assert sim10["consolidations"] == sim1["consolidations"] >= 1
+    assert sim1["final_active"] == sim10["final_active"] // 10
+
+
+def test_verbatim_delete_runbook_replay_matches_dry_run(spark):
+    """End-to-end: the reference's verbatim msturing-10M-clustered
+    delete_runbook scaled 10M→8k replays through StreamingReplayer with
+    the SAME consolidation count and checkpoint structure as the pure-
+    python dry run, and no checkpoint leaks a tombstoned id."""
+    from pyspark.sql import functions as F
+
+    from filter_vectordb_spark.sources.synth import synth_uint8_base
+    from filter_vectordb_spark.streaming.runbook import (
+        StreamingReplayer,
+        scale_runbook,
+        simulate_replay_counters,
+    )
+
+    rb = scale_runbook(
+        parse_runbook_yaml(
+            "/root/reference/streaming/delete_runbook.yaml",
+            "msturing-10M-clustered",
+        ),
+        1,
+        1250,  # 10M → 8,000 ids
+    )
+    sim = simulate_replay_counters(rb)
+    assert sim["consolidations"] >= 1  # pressure survives the scaling
+    n_src = max(s.end for s in rb.steps if s.operation == "insert")
+    source = synth_uint8_base(spark, n=n_src, d=16).select("id", "emb")
+    queries = source.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    rp = StreamingReplayer(spark, rb.max_pts)
+    res = replay(spark, source, rb, queries, k=5, rp=rp).toPandas()
+    assert rp.consolidations == sim["consolidations"]
+    assert res["checkpoint"].nunique() == sim["searches"]
+    # interval-algebra oracle per checkpoint: no tombstone leaks
+    live: list[tuple[int, int]] = []
+    from filter_vectordb_spark.streaming.runbook import _sub_interval
+
+    ck = 0
+    for s in rb.steps:
+        if s.operation == "insert":
+            live, _ = _sub_interval(live, s.start, s.end)
+            live.append((s.start, s.end))
+        elif s.operation == "delete":
+            live, _ = _sub_interval(live, s.start, s.end)
+        elif s.operation == "search":
+            ck += 1
+            grp = res[res["checkpoint"] == ck]
+            ids = set(grp["id"].astype(int))
+            assert all(
+                any(lo <= i < hi for lo, hi in live) for i in ids
+            ), f"checkpoint {ck} leaked a deleted id"
