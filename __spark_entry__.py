@@ -30,85 +30,78 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # new this round (r8, second wave): the yfcc-shaped filter track at
-    # BASELINE row 1's own scale and vocabulary shape — hash-checked
-    # 4-route twin, the 100k mixed-route bench point, the 10M headline,
-    # and the msturing-10M simple_runbook replay (BASELINE row 5's own
-    # scale)
+    # NEVER driver-checked (VERDICT r8 #2 — the four registered after
+    # the r8 sweep, plus this round's two verbatim-reference-runbook
+    # replays): these lead unconditionally per the standing contract
+    "filtered_yfcc_recall_curve_10m",
+    "sparse_mips_8m84",
+    "sparse_mips_8m84_skewed",
+    "sparse_mips_8m84_budget",
+    "streaming_replay_1m_ref_delete",
+    "streaming_replay_1m_ref_clustered",
+    # least-recently checked: r5/r6 rows explicitly promised back in r9
+    # (the r8 _PRIORITY comment)
+    "orders_priority_rollup",
+    "binfmt_fetch_roundtrip",
+    "knn_l2_batch",
+    "q4_order_priority",
+    "customer_running_total",
+    "sparse_csr_roundtrip",
+    # r9 changed surface: index/filteridx grew persisted norms (build
+    # layout v4), candidate-only decode in the R4 sweep and tag-view
+    # kernels, >2-tag routing to r_meta, and the NEW posting-gather
+    # meta plan — the two nq32 rows hash-check both meta plans against
+    # the same DuckDB oracle; the scale rows re-check the rewritten
+    # kernels rows-level at 100k/10M
+    "filtered_knn_yfcc_gather_nq32",
     "filtered_knn_yfcc_nq32",
     "filtered_knn_yfcc_100k",
     "filtered_knn_yfcc_10m",
     "filtered_knn_yfcc_10m_ivf",
-    "streaming_replay_10m",
-    # r8 third wave: BASELINE row 4's delete_runbook pattern at the
-    # reference's own 10M scale (consolidation pressure + exact
-    # checkpoints); the yfcc rows above re-check the vectorized
-    # flat-pair R4/probed kernels from the driver side
-    "streaming_replay_10m_clustered",
-    # new this round (r8): the hash-checked OOD serving twin (the 1M
-    # nq=8 pipeline on the distribution-shifted query set, VERDICT r7
-    # #1), the clustered delete-runbook replay with consolidation
-    # pressure (VERDICT r7 #4), and the 1M-doc sparse segment-scan
-    # point (VERDICT r7 #5)
-    "knn_ip_1m_nq8_ood",
-    "streaming_replay_1m_clustered",
-    "sparse_mips_1m",
-    # re-gated this round — must re-green: the 10M points now run the
-    # genuinely out-of-distribution query batch (VERDICT r7 #1) with
-    # the 256-sample ground truth (r7 #3), and the exact anchors read
-    # their staged base directly (r7 #3 transfer fix)
-    "knn_ip_10m",
-    "knn_ip_10m_ivfsq",
-    "knn_ip_10m_ivfsq_lo",
-    "ood_recall_curve_10m",
-    # hash-checked twin of the changed IVF+SQ8 delegation + direct-read
-    # serving surface
-    "knn_ip_1m_nq8",
-    # r7-invisible (no CORRECTNESS_r07 row — rotated back per the
-    # standing contract, VERDICT r7 #6); uint8_knn and the knn_l2
-    # variants hash-check the rewritten threshold-pruned selection
-    # kernel from the driver side
-    "knn_l2_expr",
-    "filtered_knn_meta",
-    "filtered_knn_scan",
-    "filtered_knn_sig",
-    "sparse_mips",
-    "sparse_mips_alpha",
-    "sparse_mips_budget",
-    "top_parts_per_brand",
-    "events_hourly",
-    "events_hourly_stream",
-    "events_asof_join",
-    "streaming_replay",
-    "streaming_clustered_replay",
-    "streaming_delete_replay",
-    "ivf_full_probe",
-    "pq_adc_knn",
-    "ivf_incremental_search",
-    "ivfpq_knn",
-    "text_repetition",
-    "corpus_mix_allocation",
-    "pii_scrub",
-    "signup_click_conversion",
-    "dedup_jaccard_pairs",
-    "dedup_minhash",
-    "dedup_minhash_clusters",
-    "dedup_simhash",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "media_features",
-    "media_frame_sample",
-    "media_decode_stats",
-    "uint8_knn",
-    "binfmt_roundtrip",
-    "range_search_uint8",
-    "tag_pair_doc_freq",
-    "dedup_filtered_corpus",
-    # every other query was driver-green in r7 (CORRECTNESS_r07) and
-    # stays registered + pytest-checked; knn_l2_batch,
-    # q4_order_priority, customer_running_total, sparse_csr_roundtrip,
-    # binfmt_fetch_roundtrip and orders_priority_rollup yielded their
-    # r8 slots to the yfcc/10M rows above and re-enter in r9.
+    # r8-invisible, last checked r7 — rotated back per the standing
+    # contract (hash-checked rows preferred; see the tail note for the
+    # rows-only scale points that wait for r10)
+    "knn_l2",
+    "knn_ip",
+    "knn_cosine",
+    "filtered_knn_router",
+    "filtered_knn_100k_nq32",
+    "tag_doc_freq",
+    "posting_intersection",
+    "posting_union",
+    "knn_result_matrix",
+    "recall_at_k",
+    "results_sink_roundtrip",
+    "tag_signatures",
+    "vector_norms",
+    "hybrid_rrf_search",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast",
+    "events_sessionize",
+    "sq_knn",
+    "ivfsq_knn",
+    "tag_partition_knn",
+    "tag_pair_partition_knn",
+    "doc_fingerprint",
+    "token_stats",
+    "text_quality",
+    "eval_contamination",
+    "dedup_substring_windows",
+    "dedup_substring_windows_hashed",
+    "token_stats_bpe",
+    "lang_id_ngram",
+    "streaming_dedup",
+    "lsh_cosine_knn",
+    # every other query stays registered + pytest-checked.  Still
+    # r8-green and yielding their slot this round: the r8 wave
+    # (yfcc/10M/OOD/sparse/media/dedup rows).  Last checked r7 and
+    # explicitly returning in r10: dedup_exact, corpus_split,
+    # corpus_token_quantiles, corpus_stratified_sample, plus the
+    # rows-only benched-every-round scale points (knn_ip_100k/1m,
+    # knn_ip_1m_ivfsq, streaming_replay_1m, sparse_mips_100k,
+    # filtered_knn_100k, recall_qps_curve, recall_qps_curve_100k).
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 

@@ -297,11 +297,25 @@ def _yfcc_index_dir(spark: SparkSession, key: str, n: int) -> str:
     )
     from filter_vectordb_spark.sources.synth import synth_yfcc_base
 
-    # _v2: tag views carry the shared coarse quantizer's list id
-    # (lst-sorted files) + centroids/ — the nprobe-gated serving layout
-    out = _index_cache_dir(key, "fidx_v3")
+    # _v3: tag views carry the shared coarse quantizer's list id
+    # (lst-sorted files) + centroids/ — the nprobe-gated serving layout.
+    # _v4: codes + tagview persist the per-row squared-norm column
+    # (VERDICT r8 #1a) so serving reads norms instead of recomputing
+    # them over the whole corpus every batch
+    out = _index_cache_dir(key, "fidx_v4")
     if not index_is_built(out):
         build_filtered_index(synth_yfcc_base(spark, n=n), out)
+    else:
+        # upgrade-in-place: the memmap serving sidecars (meta_bin/ +
+        # tag_bin/) are derived artifacts — ensure them without
+        # rebuilding the parquet layout (idempotent no-op once present)
+        from filter_vectordb_spark.index.filteridx import (
+            build_meta_bins,
+            build_tag_bins,
+        )
+
+        build_meta_bins(spark, out)
+        build_tag_bins(spark, out)
     return out
 
 

@@ -209,6 +209,27 @@ def filtered_knn_yfcc_nq32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("filtered_knn_yfcc_gather_nq32", _YFCC_NQ32_ORACLE)
+def filtered_knn_yfcc_gather_nq32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED twin of the POSTING-GATHER meta plan (VERDICT r8
+    #1c): the same 32-query batch, index, and DuckDB oracle as
+    filtered_knn_yfcc_nq32, but with the selective queries forced
+    through _score_meta_gather — the shuffle-based posting-intersection
+    + candidate-join plan that replaces the O(corpus) sweep when
+    Σ|candidates| is small (and at any corpus size past executor RAM).
+    Distances assemble through the identical f32-decode/einsum path, so
+    the two plans hash-match the same oracle."""
+    from filter_vectordb_spark.index.filteridx import filtered_search
+    from filter_vectordb_spark.queries.fixtures import _yfcc100k_index
+    from filter_vectordb_spark.sources.synth import synth_yfcc_queries
+
+    out = _yfcc100k_index(spark)
+    q = synth_yfcc_queries(spark, nq=32)
+    return filtered_search(spark, out, q, 10, meta_plan="gather").select(
+        "qid", "rank", "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
 @register("filtered_knn_yfcc_100k")  # bench-scale point — rows-only (oracle infeasible at 8192×100k)
 def filtered_knn_yfcc_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The yfcc-shaped router at bench scale: 8,192 heavy-tailed 1-2-tag
@@ -322,7 +343,7 @@ def filtered_yfcc_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFram
     exact = filtered_search(spark, out, q, 10).toPandas()
     kth = exact.groupby("qid")["dist"].max().to_dict()
     n_ex = exact.groupby("qid").size().to_dict()
-    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C = _load_routing(
+    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C, _hx = _load_routing(
         spark, out
     )
     qpdf = q.select("qid", "qtags").toPandas()
@@ -332,9 +353,13 @@ def filtered_yfcc_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFram
     tag_qids = set(qpdf.iloc[r_tag]["qid"].astype(int))
     records = []
     for nprobe in (1, 2, 4, _YFCC_10M_NPROBE, 16, 32):
+        rdf = filtered_search(spark, out, q, 10, nprobe=nprobe)
+        # bench convention (VERDICT r8 #4): time to the count() action;
+        # the recall bookkeeping's toPandas re-execution is untimed
         t0 = time.perf_counter()
-        res = filtered_search(spark, out, q, 10, nprobe=nprobe).toPandas()
+        rdf.count()
         wall = time.perf_counter() - t0
+        res = rdf.toPandas()
         hits = tag_hits = tag_den = 0
         for r in res.itertuples():
             ok = r.dist <= kth[r.qid]
@@ -655,14 +680,18 @@ def ood_recall_curve_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = dict(zip(gt["qid"].astype(int), gt["kth"]))
     records = []
     for nprobe in (1, _10M_NPROBE_LO, 3, _10M_NPROBE_HI, 8, 16):
-        t0 = time.perf_counter()
         res = ivfsq_search(
             q, entries, centroids, vmin, vmax, base, 10, nprobe=nprobe,
             refine=_10M_REFINE, metric="ip", entries_dir=f"{out}/entries",
             exact_codes=True,
         ).select("qid", "id", "dist")
-        pdf = res.toPandas()
+        # the bench convention (VERDICT r8 #4): the TIMED wall runs the
+        # plan to a count() action — no driver transfer inside it; the
+        # untimed toPandas re-execution below is recall bookkeeping only
+        t0 = time.perf_counter()
+        res.count()
         wall = time.perf_counter() - t0
+        pdf = res.toPandas()
         sampled = pdf[pdf["qid"].isin(kth)]
         hits = sum(
             1
@@ -811,6 +840,84 @@ def streaming_replay_10m_clustered(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("id") - 10_000_000).alias("qid"), F.col("emb").alias("qemb")
     )
     rb = parse_runbook_yaml(ypath, "msturing-10m-clustered")
+    return replay(spark, base, rb, q, k=10, compute_dtype="float32").select(
+        "checkpoint", "qid", "rank", "id"
+    )
+
+
+@register("streaming_replay_1m_ref_delete")  # reference-runbook point — rows-only (oracle infeasible at 1M)
+def streaming_replay_1m_ref_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's VERBATIM 482-line `streaming/delete_runbook.yaml`
+    (msturing-10M-clustered dataset: 75 steps — 32 inserts, 10 range
+    deletes, 33 searches, irregular ranges and mid-stream re-inserts,
+    max_pts 6M), ids exactly integer-scaled 10M→1M (scale_runbook) onto
+    the staged cluster-permuted corpus — the actual step interleave,
+    not generate_delete_runbook's fixed pattern (VERDICT r8 missing #2).
+    Exact search at every checkpoint → recall 1.0 by construction; the
+    ST4 consolidation count and final ledger state must equal the pure-
+    python dry run of the same YAML (simulate_replay_counters), pinned
+    in tests/test_runbook_formats.py.  512 queries × 33 checkpoints
+    keeps the checkpoint cost proportionate to the 75-step state walk."""
+    from filter_vectordb_spark.queries.fixtures import (
+        _synth_msturing1m,
+        _synth_msturing1m_clustered,
+    )
+    from filter_vectordb_spark.streaming.runbook import (
+        parse_runbook_yaml,
+        replay,
+        scale_runbook,
+    )
+
+    base, _ypath = _synth_msturing1m_clustered(spark)
+    src = _synth_msturing1m(spark)
+    q = src.filter(F.col("id").between(1_000_000, 1_000_511)).select(
+        (F.col("id") - 1_000_000).alias("qid"), F.col("emb").alias("qemb")
+    )
+    rb = scale_runbook(
+        parse_runbook_yaml(
+            "/root/reference/streaming/delete_runbook.yaml",
+            "msturing-10M-clustered",
+        ),
+        1,
+        10,
+    )
+    return replay(spark, base, rb, q, k=10, compute_dtype="float32").select(
+        "checkpoint", "qid", "rank", "id"
+    )
+
+
+@register("streaming_replay_1m_ref_clustered")  # reference-runbook point — rows-only (oracle infeasible at 1M)
+def streaming_replay_1m_ref_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's VERBATIM `streaming/clustered_runbook.yaml`
+    (msturing-10M-clustered: 64 steps — 32 cluster inserts alternating
+    with 32 searches, no deletes, max_pts 10M), ids integer-scaled
+    10M→1M onto the staged cluster-permuted corpus: the drift pattern
+    where each checkpoint searches a different subset of clusters.
+    Exact search at every checkpoint → recall 1.0 by construction.
+    256 queries × 32 checkpoints (the 64-step walk dominates)."""
+    from filter_vectordb_spark.queries.fixtures import (
+        _synth_msturing1m,
+        _synth_msturing1m_clustered,
+    )
+    from filter_vectordb_spark.streaming.runbook import (
+        parse_runbook_yaml,
+        replay,
+        scale_runbook,
+    )
+
+    base, _ypath = _synth_msturing1m_clustered(spark)
+    src = _synth_msturing1m(spark)
+    q = src.filter(F.col("id").between(1_000_000, 1_000_255)).select(
+        (F.col("id") - 1_000_000).alias("qid"), F.col("emb").alias("qemb")
+    )
+    rb = scale_runbook(
+        parse_runbook_yaml(
+            "/root/reference/streaming/clustered_runbook.yaml",
+            "msturing-10M-clustered",
+        ),
+        1,
+        10,
+    )
     return replay(spark, base, rb, q, k=10, compute_dtype="float32").select(
         "checkpoint", "qid", "rank", "id"
     )

@@ -59,10 +59,16 @@ _MALLOC_ENV = {
 def get_spark(app_name: str = "filter_vectordb_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # FVDB_NO_MALLOC_PIN=1 drops the allocator pinning for A/B fault-tax
+    # measurement (VERDICT r8 #7) — one bench run with and one without
+    # separates host environment from code in the round-over-round diff
+    malloc_env = (
+        {} if os.environ.get("FVDB_NO_MALLOC_PIN", "") == "1" else _MALLOC_ENV
+    )
     # local mode forks Python workers from this process — the env must be
     # set on the driver before the first worker spawns, AND as
     # executorEnv for completeness on a real cluster
-    for k, v in {**_BLAS_ENV, **_MALLOC_ENV}.items():
+    for k, v in {**_BLAS_ENV, **malloc_env}.items():
         os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -81,7 +87,7 @@ def get_spark(app_name: str = "filter_vectordb_spark", cpus: int | None = None) 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in {**_BLAS_ENV, **_MALLOC_ENV}.items():
+    for k, v in {**_BLAS_ENV, **malloc_env}.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

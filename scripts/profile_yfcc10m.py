@@ -29,7 +29,7 @@ def main() -> None:
     spark = get_spark("profile_yfcc10m")
     out = _yfcc10m_index(spark)
     q = _yfcc_queries_staged(spark, nq=8192)
-    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C = _load_routing(
+    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C, _hx = _load_routing(
         spark, out
     )
     qpdf = q.select("qid", "qtags").toPandas()

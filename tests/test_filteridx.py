@@ -110,7 +110,7 @@ def test_filtered_search_matches_bruteforce(spark, built):
     np.testing.assert_allclose(got["dist"], want["dist"], rtol=0, atol=0)
     # the batch must exercise every route at this size, or the test
     # silently shrinks to one path
-    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C = _load_routing(
+    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C, _hx = _load_routing(
         spark, out
     )
     qpdf = q.toPandas()
@@ -265,3 +265,229 @@ def test_two_rare_tag_intersection(spark, built):
         if ta in set(map(int, r["tags"])) and tb in set(map(int, r["tags"]))
     }
     assert set(got["id"]) <= cand and len(got) == min(10, len(cand))
+
+
+def test_route_multi_tag_goes_meta_unconditionally():
+    """ADVICE r8 (medium): a >2-tag conjunction whose rarest tag is
+    FREQUENT must still route to r_meta — the tag-view route carries
+    only (rarer, other) and would silently drop the third conjunct."""
+    ndoc = {0: 5000, 1: 2500, 2: 4000}
+    tag_files = {0: ["f0"], 1: ["f1"], 2: ["f2"]}
+    r_pair, r_tag, r_meta, _tc, _oc = _route(
+        [[0, 1, 2]], ndoc, thr=100.0, pairs=set(), tag_files=tag_files
+    )
+    assert r_meta == [0] and not r_tag and not r_pair
+
+
+def test_three_frequent_tag_conjunction(spark, built):
+    """End-to-end ADVICE r8 regression: a 3-tag conjunction of FREQUENT
+    tags (each above the routing threshold) must satisfy ALL three
+    conjuncts — the old router sent it down the tag-view path with only
+    two."""
+    out, base = built
+    bp = base.select("id", "tags").toPandas()
+    thr = MIN_FREQ * N
+    from collections import Counter
+
+    cnt = Counter(int(t) for tags in bp["tags"] for t in tags)
+    pick = None
+    for _, r in bp.iterrows():
+        freq3 = sorted({int(t) for t in r["tags"] if cnt[int(t)] >= thr})
+        if len(freq3) >= 3:
+            pick = freq3[:3]
+            break
+    assert pick is not None, "fixture lacks a 3-frequent-tag doc"
+    ta, tb, tc = pick
+    q = synth_yfcc_queries(spark, nq=1).select(
+        "qid", "qemb", F.array(F.lit(ta), F.lit(tb), F.lit(tc)).alias("qtags")
+    )
+    got = filtered_search(spark, out, q, k=10).toPandas()
+    cand = {
+        int(r["id"])
+        for _, r in bp.iterrows()
+        if {ta, tb, tc} <= set(map(int, r["tags"]))
+    }
+    assert set(got["id"]) <= cand and len(got) == min(10, len(cand))
+
+
+def test_hit_lists_large_negative_tag():
+    """ADVICE r8 (low): a negative flat tag with magnitude beyond the
+    LUT length must not throw — and matches nothing either way."""
+    from filter_vectordb_spark.index.filteridx import _hit_lists, _probed_lut
+
+    probed = np.array([3, 7, 9], dtype=np.int64)
+    lut = _probed_lut(probed)
+    flat = np.array([-100000, 3, -2, 9, 7, 3], dtype=np.int64)
+    row_of = np.array([0, 1, 2, 3, 4, 5], dtype=np.int64)
+    a = _hit_lists(flat, row_of, probed, lut)
+    b = _hit_lists(flat, row_of, probed, None)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # the negative rows never appear in any posting list
+    assert set(a[1].tolist()) == {1, 3, 4, 5}
+
+
+def test_decode_scratch_poison(monkeypatch):
+    """VERDICT r8 #3: under FVDB_DECODE_POISON=1, a view held across
+    _decode calls reads NaN — the scratch-aliasing contract is enforced
+    in pytest instead of trusted."""
+    import pyarrow as pa
+
+    from filter_vectordb_spark.index.filteridx import _DECODE_SCRATCH, _decode
+
+    codes = pa.array(
+        [np.full(4, i, dtype=np.int8) for i in range(3)],
+        type=pa.list_(pa.int8()),
+    )
+    off = np.zeros(4, dtype=np.float64)
+    monkeypatch.setenv("FVDB_DECODE_POISON", "1")
+    _DECODE_SCRATCH.clear()
+    X1 = _decode(codes, None, 3, off, True)
+    assert X1[1, 0] == 1.0
+    X2 = _decode(codes, None, 3, off, True)
+    assert np.isnan(X1).all()  # stale view tripped
+    assert X2[2, 0] == 2.0
+    monkeypatch.delenv("FVDB_DECODE_POISON")
+    _DECODE_SCRATCH.clear()
+
+
+def test_partials_compact_equivalence():
+    """ADVICE r8 (low): compaction keeps exactly the per-qid top-k the
+    final task_topk_merge would select, and is a no-op under the cap."""
+    from filter_vectordb_spark.index.filteridx import _partials_compact
+    from filter_vectordb_spark.operators.knn import task_topk_merge
+
+    rng = np.random.default_rng(11)
+    qs = [rng.integers(0, 8, size=500).astype(np.int64) for _ in range(4)]
+    is_ = [rng.integers(0, 10_000, size=500).astype(np.int64) for _ in range(4)]
+    ds = [rng.random(500) for _ in range(4)]
+    ref = task_topk_merge(
+        np.concatenate(qs), np.concatenate(is_), np.concatenate(ds), 10, False
+    )
+    cq, ci, cd = list(qs[:1]), list(is_[:1]), list(ds[:1])
+    for j in range(1, 4):
+        cq.append(qs[j]), ci.append(is_[j]), cd.append(ds[j])
+        cq, ci, cd = _partials_compact(cq, ci, cd, 10, cap=600)
+    assert sum(a.size for a in cd) <= 600
+    got = task_topk_merge(
+        np.concatenate(cq), np.concatenate(ci), np.concatenate(cd), 10, False
+    )
+    assert got.equals(ref)
+    # under the cap: identity, no concatenation
+    same = _partials_compact(list(qs), list(is_), list(ds), 10, cap=10**9)
+    assert len(same[0]) == 4
+
+
+def test_meta_gather_plan_matches_sweep(spark, built):
+    """VERDICT r8 #1c: the shuffle-based posting-gather plan and the
+    direct-read sweep must return IDENTICAL results (ids, ranks, and
+    bit-equal distances) — routing between them is purely a cost
+    decision."""
+    out, _base = built
+    q = synth_yfcc_queries(spark, nq=64)
+    sweep = (
+        filtered_search(spark, out, q, k=10, meta_plan="sweep")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    gather = (
+        filtered_search(spark, out, q, k=10, meta_plan="gather")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        sweep[["qid", "id", "rank"]], gather[["qid", "id", "rank"]]
+    )
+    np.testing.assert_allclose(sweep["dist"], gather["dist"], rtol=0, atol=0)
+
+
+def test_meta_auto_routing_threshold(spark, built):
+    """auto picks gather only when the estimated candidate volume is
+    under GATHER_MAX_CAND_FRAC of the corpus — a hyper-selective
+    1-query batch routes to gather and still matches the forced sweep."""
+    from filter_vectordb_spark.index.filteridx import (
+        GATHER_MAX_CAND_FRAC,
+        _load_routing,
+    )
+
+    out, _base = built
+    ndoc, n_base, *_rest = _load_routing(spark, out)
+    # the rarest observed tag: est = ndoc[tag] must clear the threshold
+    rare_tag, rare_n = min(ndoc.items(), key=lambda kv: kv[1])
+    assert rare_n <= GATHER_MAX_CAND_FRAC * n_base
+    q = synth_yfcc_queries(spark, nq=1).select(
+        "qid", "qemb", F.array(F.lit(int(rare_tag))).alias("qtags")
+    )
+    auto = filtered_search(spark, out, q, k=10).toPandas()
+    sweep = filtered_search(spark, out, q, k=10, meta_plan="sweep").toPandas()
+    a = auto.sort_values("rank").reset_index(drop=True)
+    s = sweep.sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, s)
+    assert len(a) == min(10, rare_n)
+
+
+def test_meta_bin_matches_parquet_sweep(spark, built):
+    """The memmap sidecar kernel (_score_meta_bin) and the parquet sweep
+    (_score_meta) must return identical results — ids, ranks, bit-equal
+    distances.  The sidecar is a derived serving artifact, never a
+    semantic change."""
+    import os
+
+    out, _base = built
+    q = synth_yfcc_queries(spark, nq=64)
+    markers = [
+        f"{out}/meta_bin/_SUCCESS.json",
+        f"{out}/tag_bin/_SUCCESS.json",
+    ]
+    for m in markers:
+        assert os.path.exists(m), "build_filtered_index must build sidecars"
+    with_bin = (
+        filtered_search(spark, out, q, k=10, meta_plan="sweep")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    # exercise BOTH probe modes on both storage paths: the exact and
+    # the nprobe-gated tag routes must be source-agnostic too
+    with_bin_p = (
+        filtered_search(spark, out, q, k=10, nprobe=4, meta_plan="sweep")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    from filter_vectordb_spark.index import filteridx as fx
+
+    for m in markers:
+        os.rename(m, m + ".hide")
+    fx._TAG_BIN_CACHE.clear()
+    try:
+        without = (
+            filtered_search(spark, out, q, k=10, meta_plan="sweep")
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        without_p = (
+            filtered_search(spark, out, q, k=10, nprobe=4, meta_plan="sweep")
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        for m in markers:
+            os.rename(m + ".hide", m)
+        fx._TAG_BIN_CACHE.clear()
+    pd.testing.assert_frame_equal(
+        with_bin_p[["qid", "id", "rank"]], without_p[["qid", "id", "rank"]]
+    )
+    np.testing.assert_allclose(
+        with_bin_p["dist"], without_p["dist"], rtol=0, atol=0
+    )
+    pd.testing.assert_frame_equal(
+        with_bin[["qid", "id", "rank"]], without[["qid", "id", "rank"]]
+    )
+    np.testing.assert_allclose(
+        with_bin["dist"], without["dist"], rtol=0, atol=0
+    )

@@ -37,7 +37,7 @@ def test_yfcc_10m_ivf_recall_gate(spark):
     )
     exact = filtered_search(spark, out, q, 10).toPandas()
     approx = filtered_search(spark, out, q, 10, nprobe=_YFCC_10M_NPROBE).toPandas()
-    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C = _load_routing(
+    ndoc, n_base, min_freq, _off, pair_files, tag_files, _C, _hx = _load_routing(
         spark, out
     )
     qpdf = q.select("qid", "qtags").toPandas()
