@@ -37,7 +37,7 @@ def main() -> None:
     run("ivfsq_10m", fx._ivfsq_10m)
     # the concurrent pytest run may be building this one — only build
     # if nobody has finished it AND nothing has touched it recently
-    idx = "/tmp/fvdb_index_cache/yfcc10m_v2/fidx_v3"
+    idx = "/tmp/fvdb_index_cache/yfcc10m_v2/fidx_v4"
     if not os.path.exists(f"{idx}/meta.json"):
         run("yfcc10m_index", fx._yfcc10m_index)
     else:
