@@ -39,6 +39,47 @@ SCALE_RUN_COUNT = int(os.environ.get("SPARK_GRAFT_SCALE_RUN_COUNT", "3"))
 # of the bounded bench wall chasing a number the runs array already
 # shows is noisy (the r8 verify run died at the 580s cap exactly here)
 RERUN_HARD_STOP_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_HARD_STOP_SEC", "90.0"))
+# ... EXCEPT when run 1 is self-evidently a fault-tax artifact (VERDICT
+# r9 wrong #1: the r9 record carries filtered_knn_yfcc_10m at 110.29 s
+# vs a same-host 6.32 s min, sparse_mips_1m at 140.25 s vs an unchanged
+# 12.77 s r8 record — the hard stop denied exactly the rerun that was
+# most needed).  A min-of-N row whose FIRST run exceeds TAXED_RATIO ×
+# its last recorded min gets exactly ONE more run while the process is
+# still inside the scale cutoff; the taxed run stays in the runs array.
+TAXED_RATIO = float(os.environ.get("SPARK_GRAFT_TAXED_RATIO", "3.0"))
+#: best recorded (driver record or in-bench builder min, whichever is
+#: lower) per min-of-N row — the baseline the taxed-run test compares
+#: against.  Updated per round from BENCH_r{N}/docs/RESULTS_r{N}.
+HIST_MIN_SEC = {
+    "filtered_knn_100k": 1.72,
+    "filtered_knn_yfcc_100k": 4.15,
+    "sparse_mips_100k": 2.07,
+    "knn_ip_1m": 3.56,
+    "knn_ip_1m_ivfsq": 3.16,
+    "filtered_knn_yfcc_10m": 6.32,
+    "filtered_knn_yfcc_10m_ivf": 5.65,
+    "sparse_mips_1m": 12.77,
+    "sparse_mips_8m84_budget": 5.64,
+    "knn_ip_10m_ivfsq": 3.94,
+    "knn_ip_10m_ivfsq_lo": 1.97,
+    "streaming_replay": 1.88,
+    "streaming_replay_1m": 10.47,
+    "streaming_replay_1m_clustered": 12.0,  # RESULTS_r8 builder min
+    "knn_ip_10m": 25.55,
+}
+#: declared min-of-N HEADLINE rows — the bench's whole point is their
+#: min-of-N operating numbers, so the global soft budget never degrades
+#: them to single-run (VERDICT r9 wrong #3: by the time the loop reached
+#: the OOD rows, taxed wall had eaten the soft budget and the min-of-3
+#: gate rows recorded single-run — a protocol regression, not a plan
+#: one).  Each is seconds per clean run; exempting them costs ~30 s
+#: worst case against losing the round's gate comparison.
+HEADLINE_MIN_N = {
+    "filtered_knn_yfcc_10m_ivf",
+    "sparse_mips_8m84_budget",
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
+}
 # global soft budget for the TIMED loop: past this many seconds of
 # measured wall, remaining queries run once (min-of-N degrades to
 # single-run, recorded as a 1-entry runs array — visible, not silent).
@@ -59,7 +100,13 @@ SOFT_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_BUDGET", "300.0")
 # line still prints: a truncated-but-recorded bench beats a dead one.
 # Defaults leave ~140 s of straddle headroom inside an ~800 s window
 # (the r8 driver bench executed ~600-800 s of runs and recorded fine);
-# tighter windows set both via env.
+# tighter windows set both via env.  ADVICE r9 #4 (a taxed scale row
+# started just under the cutoff can still straddle a 580 s external
+# kill with nothing recorded) is closed by INCREMENTAL EMISSION instead
+# of tighter walls: the loop prints the cumulative payload line after
+# every scale row, so however the process dies the output tail carries
+# the latest complete record — shrinking the cutoffs would instead
+# sacrifice recorded rows on every healthy window.
 SCALE_CUTOFF_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE_CUTOFF", "460.0"))
 HARD_WALL_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_WALL", "640.0"))
 RERUN_COUNTS = {
@@ -101,6 +148,27 @@ RERUN_COUNTS = {
     "filtered_knn_yfcc_10m_ivf": 2,
 }
 
+#: the expensive scale rows — ONLY these are gated by SCALE_CUTOFF.
+#: Explicit set, not a substring match: r9's `"streaming_replay" in
+#: name` token also matched the ~2 s `streaming_replay` row and skipped
+#: it for two rounds (VERDICT r9 missing #1).
+SCALE_BLOCK = {
+    "filtered_knn_100k",
+    "filtered_knn_yfcc_100k",
+    "sparse_mips_100k",
+    "knn_ip_1m",
+    "knn_ip_1m_ivfsq",
+    "filtered_knn_yfcc_10m",
+    "filtered_knn_yfcc_10m_ivf",
+    "streaming_replay_1m",
+    "streaming_replay_1m_clustered",
+    "sparse_mips_1m",
+    "sparse_mips_8m84_budget",
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
+    "knn_ip_10m",
+}
+
 BENCH_QUERIES = [
     # ---- the scale block runs FIRST (r8): these rows are min-of-N, so
     # their run 1 absorbs worker-arena page-fault growth (see the warm
@@ -116,16 +184,18 @@ BENCH_QUERIES = [
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
     # scale rows ordered by information value under the cutoff: the
-    # r9 headline (yfcc filter track) and the sparse operating points
-    # before the r8-settled OOD rows, replays after, anchor last
+    # headline yfcc filter rows first, then the two replays with an
+    # outstanding record debt (streaming_replay_1m_clustered has had NO
+    # driver number since its r8 min-of-2 fix — VERDICT r9 missing #1),
+    # then the sparse + OOD operating points, anchor last
     "filtered_knn_yfcc_10m",
     "filtered_knn_yfcc_10m_ivf",
+    "streaming_replay_1m",
+    "streaming_replay_1m_clustered",
     "sparse_mips_1m",
     "sparse_mips_8m84_budget",
     "knn_ip_10m_ivfsq",
     "knn_ip_10m_ivfsq_lo",
-    "streaming_replay_1m",
-    "streaming_replay_1m_clustered",
     # the exact 10M anchor runs LAST in the scale block (r9): it is the
     # single most expensive row (30-170 s depending on host weather)
     # and carries the least information per second — under the scale
@@ -204,6 +274,21 @@ BENCH_QUERIES = [
     # bands), so at fixture scale the exact BLAS path is simply the right
     # plan — the bucketed path exists for corpora past the broadcast cap
 ]
+
+
+def taxed_retry_granted(name: str, dt: float, runs_done: int, elapsed: float) -> bool:
+    """Grant ONE rerun past the hard stop when run 1 is a fault-tax
+    artifact — over TAXED_RATIO× the row's recorded min with the
+    process still inside the scale cutoff (VERDICT r9 wrong #1: never
+    record a known-taxed single run as the official number).  The taxed
+    run stays in the runs array either way."""
+    hist = HIST_MIN_SEC.get(name)
+    return (
+        runs_done == 1
+        and hist is not None
+        and dt > TAXED_RATIO * hist
+        and elapsed < SCALE_CUTOFF_SEC
+    )
 
 
 def main() -> None:
@@ -340,9 +425,7 @@ def main() -> None:
         if fn is None:
             continue
         elapsed = time.perf_counter() - t_proc
-        is_scale = name in RERUN_COUNTS or any(
-            tok in name for tok in ("_1m", "_10m", "streaming_replay")
-        )
+        is_scale = name in SCALE_BLOCK
         if elapsed > HARD_WALL_SEC or (is_scale and elapsed > SCALE_CUTOFF_SEC):
             skipped.append(name)
             continue
@@ -361,21 +444,64 @@ def main() -> None:
             # warm measurement.
             best = float("inf")
             n_runs = RERUN_COUNTS.get(name, RUN_COUNT)
-            if time.perf_counter() - t_loop > SOFT_BUDGET_SEC:
+            if (
+                time.perf_counter() - t_loop > SOFT_BUDGET_SEC
+                and name not in HEADLINE_MIN_N
+            ):
                 n_runs = 1  # over soft budget: single-run the rest
-            for _ in range(n_runs):
+            taxed_retry = False
+            r = 0
+            while r < n_runs:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = min(best, dt)
-                if name in RERUN_COUNTS:
+                r += 1
+                # taxed-run grant applies to ANY row with a history pin
+                # (the r9 artifacts hit both min-of-N rows AND the
+                # single-run knn_ip_10m anchor); the taxed run stays in
+                # the runs array so the artifact is visible
+                grant = (
+                    not taxed_retry
+                    and dt >= RERUN_HARD_STOP_SEC
+                    and taxed_retry_granted(
+                        name, dt, r, time.perf_counter() - t_proc
+                    )
+                )
+                if name in RERUN_COUNTS or grant or taxed_retry:
                     runs.setdefault(name, []).append(round(dt, 3))
+                if grant:
+                    taxed_retry = True
+                    n_runs = r + 1
+                    continue
+                if name in RERUN_COUNTS:
                     if dt >= RERUN_HARD_STOP_SEC:
                         break
                 elif best >= RERUN_BELOW_SEC:
                     break
             timings[name] = round(best, 2)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr)
+            if is_scale:
+                # incremental emission: after every scale row, print the
+                # cumulative payload line so an external kill mid-loop
+                # (the r9 580 s dry-run failure mode) still leaves the
+                # latest complete record in the output tail — the walls
+                # bound the straddle, this bounds the loss when they
+                # don't (ADVICE r9 #4).  Normal exit still ends with the
+                # full line as the LAST line.
+                part = {
+                    "metric": "headline_queries_total_wall",
+                    "value": round(
+                        sum(t for t in timings.values() if t >= 0), 2
+                    ),
+                    "unit": "sec",
+                    "queries": dict(timings),
+                    "runs": {k: [round(t, 2) for t in v] for k, v in runs.items()},
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "partial": True,
+                    "bench_wall": round(time.perf_counter() - t_proc, 1),
+                }
+                print(format_bench_line(part))
         except Exception as exc:  # keep the bench line emittable
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0

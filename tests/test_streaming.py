@@ -57,14 +57,19 @@ def test_delete_then_consolidate(spark):
 
 
 def test_consolidation_trigger_rule(spark):
-    """active + unprocessed_deletes >= max_pts triggers compaction
-    (`diskann-str.py:79-81`)."""
+    """active + unprocessed_deletes >= max_pts triggers compaction AT
+    INSERT time only, exactly `diskann-str.py` insert() (`:79-81` —
+    active updated with the new ids, then checked); delete() just
+    tombstones and counts, never consolidates (ADVICE r9)."""
     base = dense_vectors(spark, SF_DIR).select("id", "emb")
     rp = StreamingReplayer(spark, max_pts=200)
-    rp.insert(base.filter(F.col("id") < 200))
-    rp.delete_range(0, 10)  # 190 active + 10 deletes = 200 >= max_pts
-    assert rp.unprocessed_deletes == 0  # auto-consolidated
-    assert rp.state.count() == 190
+    rp.insert(base.filter(F.col("id") < 190))
+    rp.delete_range(0, 10)  # 180 active + 10 deletes: NO check at delete
+    assert rp.unprocessed_deletes == 10 and rp.consolidations == 0
+    # the next insert crosses the cap: 190 active + 10 unprocessed ≥ 200
+    rp.insert(base.filter(F.col("id").between(190, 199)))
+    assert rp.unprocessed_deletes == 0 and rp.consolidations == 1
+    assert rp.active().count() == 190
 
 
 def test_yaml_replay_matches_direct_state(spark):
@@ -329,6 +334,7 @@ def test_delete_runbook_consolidation_pressure(spark, tmp_path):
         StreamingReplayer,
         parse_runbook_yaml,
         replay,
+        simulate_replay_counters,
     )
 
     n, k = 2000, 5
@@ -342,7 +348,15 @@ def test_delete_runbook_consolidation_pressure(spark, tmp_path):
     rp = StreamingReplayer(spark, rb.max_pts)
     res = replay(spark, base, rb, q, k=k, rp=rp).toPandas()
 
-    assert rp.consolidations >= 2, rp.consolidations
+    # insert-only ST4 trigger (ADVICE r9, reference-exact): the replay's
+    # consolidation count must equal the pure-python dry run's, and the
+    # cap pressure must fire at least once (a delete crossing the
+    # threshold now waits for the NEXT insert, as diskann-str.py does)
+    sim = simulate_replay_counters(rb)
+    assert rp.consolidations == sim["consolidations"] >= 1, (
+        rp.consolidations,
+        sim,
+    )
     assert sorted(res["checkpoint"].unique()) == [1, 2, 3, 4]
     counts = res.groupby(["checkpoint", "qid"]).size()
     assert (counts == k).all()
