@@ -43,9 +43,9 @@ RERUN_HARD_STOP_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_HARD_STOP_SEC", "9
 # r9 wrong #1: the r9 record carries filtered_knn_yfcc_10m at 110.29 s
 # vs a same-host 6.32 s min, sparse_mips_1m at 140.25 s vs an unchanged
 # 12.77 s r8 record — the hard stop denied exactly the rerun that was
-# most needed).  A min-of-N row whose FIRST run exceeds TAXED_RATIO ×
-# its last recorded min gets exactly ONE more run while the process is
-# still inside the scale cutoff; the taxed run stays in the runs array.
+# most needed).  A row whose FIRST run exceeds TAXED_RATIO × its best
+# recorded min gets exactly ONE more run while the wall allows it (see
+# taxed_retry_granted); the taxed run stays in the runs array.
 TAXED_RATIO = float(os.environ.get("SPARK_GRAFT_TAXED_RATIO", "3.0"))
 #: best recorded (driver record or in-bench builder min, whichever is
 #: lower) per min-of-N row — the baseline the taxed-run test compares
@@ -54,16 +54,16 @@ HIST_MIN_SEC = {
     "filtered_knn_100k": 1.72,
     "filtered_knn_yfcc_100k": 4.15,
     "sparse_mips_100k": 2.07,
-    "knn_ip_1m": 3.56,
+    "knn_ip_1m": 2.79,
     "knn_ip_1m_ivfsq": 3.16,
     "filtered_knn_yfcc_10m": 6.32,
-    "filtered_knn_yfcc_10m_ivf": 5.65,
+    "filtered_knn_yfcc_10m_ivf": 5.34,
     "sparse_mips_1m": 12.77,
     "sparse_mips_8m84_budget": 5.64,
     "knn_ip_10m_ivfsq": 3.94,
     "knn_ip_10m_ivfsq_lo": 1.97,
-    "streaming_replay": 1.88,
-    "streaming_replay_1m": 10.47,
+    "streaming_replay": 1.06,
+    "streaming_replay_1m": 8.15,
     "streaming_replay_1m_clustered": 12.0,  # RESULTS_r8 builder min
     "knn_ip_10m": 25.55,
 }
@@ -278,16 +278,25 @@ BENCH_QUERIES = [
 
 def taxed_retry_granted(name: str, dt: float, runs_done: int, elapsed: float) -> bool:
     """Grant ONE rerun past the hard stop when run 1 is a fault-tax
-    artifact — over TAXED_RATIO× the row's recorded min with the
-    process still inside the scale cutoff (VERDICT r9 wrong #1: never
-    record a known-taxed single run as the official number).  The taxed
-    run stays in the runs array either way."""
+    artifact — over TAXED_RATIO× the row's recorded min (VERDICT r9
+    wrong #1: never record a known-taxed single run as the official
+    number).  The taxed run stays in the runs array either way.
+
+    Wall guard: inside the scale cutoff the grant is unconditional;
+    past it (the taxed run itself may have pushed the loop over — the
+    exact case the grant exists for) it is still given while a
+    conservatively-taxed rerun (TAXED_RATIO × the recorded min) fits
+    under the hard wall, since incremental emission bounds the loss if
+    even that estimate is wrong."""
     hist = HIST_MIN_SEC.get(name)
     return (
         runs_done == 1
         and hist is not None
         and dt > TAXED_RATIO * hist
-        and elapsed < SCALE_CUTOFF_SEC
+        and (
+            elapsed < SCALE_CUTOFF_SEC
+            or elapsed + TAXED_RATIO * hist < HARD_WALL_SEC
+        )
     )
 
 
