@@ -277,10 +277,12 @@ BENCH_QUERIES = [
 
 
 def taxed_retry_granted(name: str, dt: float, runs_done: int, elapsed: float) -> bool:
-    """Grant ONE rerun past the hard stop when run 1 is a fault-tax
-    artifact — over TAXED_RATIO× the row's recorded min (VERDICT r9
-    wrong #1: never record a known-taxed single run as the official
-    number).  The taxed run stays in the runs array either way.
+    """Grant ONE rerun when a row is about to record from a single run
+    that is a fault-tax artifact — over TAXED_RATIO× the row's recorded
+    min (VERDICT r9 wrong #1: never record a known-taxed single run as
+    the official number).  The caller applies this at every would-be
+    exit after run 1: the hard stop, the RERUN_BELOW break, and an
+    exhausted run budget.  The taxed run stays in the runs array.
 
     Wall guard: inside the scale cutoff the grant is unconditional;
     past it (the taxed run itself may have pushed the loop over — the
@@ -466,13 +468,20 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = min(best, dt)
                 r += 1
-                # taxed-run grant applies to ANY row with a history pin
-                # (the r9 artifacts hit both min-of-N rows AND the
-                # single-run knn_ip_10m anchor); the taxed run stays in
-                # the runs array so the artifact is visible
+                # taxed-run grant: whenever the loop is ABOUT TO make a
+                # single taxed run the official number — n_runs
+                # exhausted after run 1 (soft-budget rows), the
+                # RERUN_BELOW break (the single-run knn_ip_10m anchor),
+                # or the hard stop — give it one more run while the
+                # wall allows.  Min-of-N rows that run their full count
+                # self-heal without a grant.  The taxed run stays in
+                # the runs array so the artifact is visible.
+                stop_hard = name in RERUN_COUNTS and dt >= RERUN_HARD_STOP_SEC
+                stop_below = name not in RERUN_COUNTS and best >= RERUN_BELOW_SEC
+                will_stop = stop_hard or stop_below or r >= n_runs
                 grant = (
                     not taxed_retry
-                    and dt >= RERUN_HARD_STOP_SEC
+                    and will_stop
                     and taxed_retry_granted(
                         name, dt, r, time.perf_counter() - t_proc
                     )
@@ -483,10 +492,7 @@ def main() -> None:
                     taxed_retry = True
                     n_runs = r + 1
                     continue
-                if name in RERUN_COUNTS:
-                    if dt >= RERUN_HARD_STOP_SEC:
-                        break
-                elif best >= RERUN_BELOW_SEC:
+                if stop_hard or stop_below:
                     break
             timings[name] = round(best, 2)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr)

@@ -531,12 +531,15 @@ def _upgrade_tag_bin_bounds(out_dir: str, man: dict) -> None:
                 continue
             try:
                 lst = np.load(f"{bin_dir}/{key_}.lst.npy", mmap_mode="r")
+                bounds = np.searchsorted(lst, grid).astype(np.int64)
+                tmp = f"{dst}.tmp"
+                np.save(open(tmp, "wb"), bounds)
+                os.replace(tmp, dst)
             except OSError:
+                # read-only index dir (shared cache / snapshot): the
+                # serve path recomputes bounds from lst per unit — a
+                # failed backfill must never abort serving
                 continue
-            bounds = np.searchsorted(lst, grid).astype(np.int64)
-            tmp = f"{dst}.tmp"
-            np.save(open(tmp, "wb"), bounds)
-            os.replace(tmp, dst)
 
 
 #: per-session memo of loaded routing metadata, keyed by (appId, path,

@@ -845,7 +845,9 @@ def _group_queries(qpdf, ndoc: dict | None):
         np.asarray(flat_other, dtype=np.int64),
     )
     multi_q = [(idx, qids_all[j : j + 1], Q_all[j : j + 1]) for idx, j in multi]
-    return scan_q, flat_q, multi_q, probed
+    # use_f32 comes out of the same Q_all stack — the callers otherwise
+    # re-stack the full query matrix just to recompute it
+    return scan_q, flat_q, multi_q, probed, _f32_exact_ok(Q_all)
 
 
 def _flat_pairs(frarer, fother, ptag, prow, starts, n: int):
@@ -946,8 +948,7 @@ def _score_meta(
     has_xn: the build persisted per-row squared norms (VERDICT r8 #1a)
     — read them instead of recomputing; bit-identical on the integer
     grid (pre-r9 layouts fall back to _sqnorms)."""
-    scan_q, flat_q, multi_q, probed = _group_queries(qpdf, ndoc)
-    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
+    scan_q, flat_q, multi_q, probed, use_f32 = _group_queries(qpdf, ndoc)
     lut = _probed_lut(probed)
     files = sorted(_glob.glob(f"{codes_dir}/*.parquet"))
     if not files:
@@ -1196,8 +1197,7 @@ def _score_meta_bin(
     with open(f"{bin_dir}/_SUCCESS.json") as fh:
         man = _json.load(fh)
     d = int(man["d"])
-    scan_q, flat_q, multi_q, probed = _group_queries(qpdf, ndoc)
-    use_f32 = _f32_exact_ok(np.stack(qpdf["qemb"].to_numpy()).astype(np.float64))
+    scan_q, flat_q, multi_q, probed, use_f32 = _group_queries(qpdf, ndoc)
     # tasks: (file, row-split) — candidate work splits with the rows, so
     # parallelism is not capped at the file count
     nfiles = max(1, len(man["files"]))
