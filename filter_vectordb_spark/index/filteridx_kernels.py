@@ -666,7 +666,6 @@ def _score_tagview_probed(
                     bounds = np.searchsorted(
                         lst, np.arange(bnlist + 1, dtype=np.int64)
                     )
-                other_masks: dict[int, np.ndarray] = {}
                 # PHASE 1 — every group's candidate (query, row) pairs,
                 # no codes touched yet.  PHASE 2 below decodes the UNION
                 # of probed rows across ALL of the unit's query groups
@@ -676,16 +675,6 @@ def _score_tagview_probed(
                 pq_ = []  # (qid_rows, global query-row idx, Q, rows)
                 nb = 0  # query-row base into the concatenated Q
                 for other, qids, Q, P in tgroups:
-                    om = None
-                    if other >= 0:
-                        om = other_masks.get(other)
-                        if om is None:
-                            oi = int(np.searchsorted(others, other))
-                            om = np.zeros(n, dtype=bool)
-                            om[oth_rows[oth_starts[oi] : oth_starts[oi + 1]]] = (
-                                True
-                            )
-                            other_masks[other] = om
                     # every query's probed row ranges IN ONE SHOT (the
                     # per-query range-concatenate loop ran len(qids) ×
                     # units times — its Python overhead, not the math,
@@ -707,8 +696,17 @@ def _score_tagview_probed(
                     qrep = np.repeat(
                         np.arange(len(qids), dtype=np.int64), cnt.sum(axis=1)
                     )
-                    if om is not None:
-                        keep = om[rows]
+                    if other >= 0:
+                        # conjunction mask via sorted-posting membership
+                        # — O(|rows|·log|post|), replacing a per-(other,
+                        # unit) O(n) boolean mask build whose allocation
+                        # + posting scatter dominated hot units with
+                        # many distinct `other` tags
+                        oi = int(np.searchsorted(others, other))
+                        post = oth_rows[oth_starts[oi] : oth_starts[oi + 1]]
+                        p2 = np.searchsorted(post, rows)
+                        keep = p2 < len(post)
+                        keep[keep] = post[p2[keep]] == rows[keep]
                         rows, qrep = rows[keep], qrep[keep]
                         if len(rows) == 0:
                             continue
