@@ -535,8 +535,10 @@ def _upgrade_tag_bin_bounds(out_dir: str, man: dict) -> None:
                 tmp = f"{dst}.tmp"
                 np.save(open(tmp, "wb"), bounds)
                 os.replace(tmp, dst)
-            except OSError:
-                # read-only index dir (shared cache / snapshot): the
+            except (OSError, ValueError):
+                # read-only index dir (shared cache / snapshot) or a
+                # corrupt/truncated lst file (np.load raises ValueError,
+                # not OSError, on a bad npy header — ADVICE r10): the
                 # serve path recomputes bounds from lst per unit — a
                 # failed backfill must never abort serving
                 continue

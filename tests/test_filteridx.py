@@ -628,6 +628,37 @@ def test_upgrade_tag_bin_bounds_backfills(spark, built):
     assert len(got) == nlist + 1
 
 
+def test_upgrade_tag_bin_bounds_survives_corrupt_lst(spark, built):
+    """ADVICE r10: np.load of a truncated/corrupt .lst.npy raises
+    ValueError, not OSError — the backfill must swallow it and leave
+    manifest load (and serving) alive, per its own contract."""
+    import glob as g
+    import os
+
+    from filter_vectordb_spark.index import filteridx as fx
+
+    out, _base = built
+    bfiles = sorted(g.glob(f"{out}/tag_bin/*.bounds.npy"))
+    assert bfiles
+    victim = bfiles[0]
+    lst_path = victim.replace(".bounds.npy", ".lst.npy")
+    keep = open(lst_path, "rb").read()
+    try:
+        os.remove(victim)  # force the backfill path for this file
+        with open(lst_path, "wb") as fh:
+            fh.write(b"\x93NUMPY garbage not a real header")
+        fx._TAG_BIN_CACHE.clear()
+        # must not raise, and must not have written a bounds file
+        assert fx._tag_bins(out) is not None
+        assert not os.path.exists(victim)
+    finally:
+        with open(lst_path, "wb") as fh:
+            fh.write(keep)
+        fx._TAG_BIN_CACHE.clear()
+        assert fx._tag_bins(out) is not None  # restored layout backfills
+        assert os.path.exists(victim)
+
+
 def test_rebuild_in_place_retires_stale_sidecars(spark, tmp_path):
     """ADVICE r9 medium: rebuilding an index into the same out_dir must
     not leave the previous build's *_bin sidecars preferred over the
