@@ -47,26 +47,65 @@ RERUN_HARD_STOP_SEC = float(os.environ.get("SPARK_GRAFT_RERUN_HARD_STOP_SEC", "9
 # recorded min gets exactly ONE more run while the wall allows it (see
 # taxed_retry_granted); the taxed run stays in the runs array.
 TAXED_RATIO = float(os.environ.get("SPARK_GRAFT_TAXED_RATIO", "3.0"))
-#: best recorded (driver record or in-bench builder min, whichever is
-#: lower) per min-of-N row — the baseline the taxed-run test compares
-#: against.  Updated per round from BENCH_r{N}/docs/RESULTS_r{N}.
-HIST_MIN_SEC = {
+#: builder quiet-window mins (docs/RESULTS_r{N}.md fresh-process
+#: measurements) that beat any committed driver record — the only part
+#: of the taxed-run baseline that still needs a hand entry, and only
+#: until a driver record catches up (the derived history then wins).
+HIST_SEED_SEC = {
     "filtered_knn_100k": 1.72,
     "filtered_knn_yfcc_100k": 4.15,
     "sparse_mips_100k": 2.07,
     "knn_ip_1m": 2.79,
     "knn_ip_1m_ivfsq": 3.16,
-    "filtered_knn_yfcc_10m": 6.32,
-    "filtered_knn_yfcc_10m_ivf": 5.34,
-    "sparse_mips_1m": 12.77,
-    "sparse_mips_8m84_budget": 5.64,
-    "knn_ip_10m_ivfsq": 3.94,
-    "knn_ip_10m_ivfsq_lo": 1.97,
+    "filtered_knn_yfcc_10m": 6.32,  # RESULTS_r9 fresh-process min
+    "filtered_knn_yfcc_10m_ivf": 5.34,  # RESULTS_r9 pre-opt best
     "streaming_replay": 1.06,
     "streaming_replay_1m": 8.15,
     "streaming_replay_1m_clustered": 12.0,  # RESULTS_r8 builder min
-    "knn_ip_10m": 25.55,
 }
+
+
+def load_hist_min(root: str | None = None) -> dict[str, float]:
+    """Per-row best recorded seconds, derived at startup from the
+    committed BENCH_r*.json driver records (queries map + runs arrays)
+    merged with HIST_SEED_SEC — VERDICT r10 wrong #4: the old
+    hand-maintained table silently miscalibrated the taxed-run grant
+    whenever an entry went stale; the history files are in the repo
+    root every round, so read them instead.  Restricted to the
+    grant-scoped rows (SCALE_BLOCK + streaming_replay) so derivation
+    does not silently widen the grant to the ~55 sub-second registry
+    rows (each grant costs a rerun; on a fully-taxed window that would
+    add minutes against the hard wall for rows whose noise the min-of-2
+    already absorbs)."""
+    import glob
+
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    scope = SCALE_BLOCK | {"streaming_replay"}
+    best = {k: v for k, v in HIST_SEED_SEC.items() if k in scope}
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        if not isinstance(parsed, dict):
+            continue
+        vals: dict[str, list[float]] = {}
+        for name, v in (parsed.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                vals.setdefault(name, []).append(float(v))
+        for name, arr in (parsed.get("runs") or {}).items():
+            if isinstance(arr, list):
+                vals[name] = vals.get(name, []) + [
+                    float(v) for v in arr if isinstance(v, (int, float))
+                ]
+        for name, arr in vals.items():
+            good = [v for v in arr if v > 0]  # -1.0 marks a failed row
+            if good and name in scope:
+                best[name] = min(best.get(name, float("inf")), min(good))
+    return best
 #: declared min-of-N HEADLINE rows — the bench's whole point is their
 #: min-of-N operating numbers, so the global soft budget never degrades
 #: them to single-run (VERDICT r9 wrong #3: by the time the loop reached
@@ -169,6 +208,10 @@ SCALE_BLOCK = {
     "knn_ip_10m",
 }
 
+#: the taxed-run grant baseline: derived from history at import, not
+#: hand-edited (see load_hist_min)
+HIST_MIN_SEC = load_hist_min()
+
 BENCH_QUERIES = [
     # ---- the scale block runs FIRST (r8): these rows are min-of-N, so
     # their run 1 absorbs worker-arena page-fault growth (see the warm
@@ -183,19 +226,22 @@ BENCH_QUERIES = [
     "sparse_mips_100k",
     "knn_ip_1m",
     "knn_ip_1m_ivfsq",
-    # scale rows ordered by information value under the cutoff: the
-    # headline yfcc filter rows first, then the two replays with an
-    # outstanding record debt (streaming_replay_1m_clustered has had NO
-    # driver number since its r8 min-of-2 fix — VERDICT r9 missing #1),
-    # then the sparse + OOD operating points, anchor last
-    "filtered_knn_yfcc_10m",
-    "filtered_knn_yfcc_10m_ivf",
+    # scale rows ordered RECORD-DEBT-FIRST / CHEAPEST-FIRST (VERDICT
+    # r10 wrong #1): r10 ran the 100-250 s yfcc pair before every row
+    # with an outstanding record debt, and on a taxed window the cutoff
+    # then skipped all 7 downstream rows — the OOD gate record stayed
+    # r8's, the clustered replay has never had a non-taxed driver
+    # number.  The ~45 s (quiet-window) debt rows below cannot be
+    # starved by one taxed 100 s+ row if they run first; the yfcc pair
+    # still records on any window that r10 would also have recorded it.
+    "knn_ip_10m_ivfsq",
+    "knn_ip_10m_ivfsq_lo",
+    "sparse_mips_8m84_budget",
     "streaming_replay_1m",
     "streaming_replay_1m_clustered",
     "sparse_mips_1m",
-    "sparse_mips_8m84_budget",
-    "knn_ip_10m_ivfsq",
-    "knn_ip_10m_ivfsq_lo",
+    "filtered_knn_yfcc_10m",
+    "filtered_knn_yfcc_10m_ivf",
     # the exact 10M anchor runs LAST in the scale block (r9): it is the
     # single most expensive row (30-170 s depending on host weather)
     # and carries the least information per second — under the scale
@@ -496,6 +542,8 @@ def main() -> None:
                     break
             timings[name] = round(best, 2)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr)
+            if name in taxed_rows(timings):
+                print(f"bench: {name} recorded TAXED", file=sys.stderr)
             if is_scale:
                 # incremental emission: after every scale row, print the
                 # cumulative payload line so an external kill mid-loop
@@ -504,37 +552,113 @@ def main() -> None:
                 # bound the straddle, this bounds the loss when they
                 # don't (ADVICE r9 #4).  Normal exit still ends with the
                 # full line as the LAST line.
-                part = {
-                    "metric": "headline_queries_total_wall",
-                    "value": round(
-                        sum(t for t in timings.values() if t >= 0), 2
-                    ),
-                    "unit": "sec",
-                    "queries": dict(timings),
-                    "runs": {k: [round(t, 2) for t in v] for k, v in runs.items()},
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "partial": True,
-                    "bench_wall": round(time.perf_counter() - t_proc, 1),
-                }
-                print(format_bench_line(part))
+                print(
+                    format_bench_line(
+                        make_payload(timings, runs, sf, t_proc, partial=True)
+                    )
+                )
         except Exception as exc:  # keep the bench line emittable
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
-    total = round(sum(t for t in timings.values() if t >= 0), 2)
-    payload = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "runs": {k: [round(t, 2) for t in v] for k, v in runs.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    # ---- end-of-loop taxed-record retry (VERDICT r10 wrong #2): a row
+    # whose recorded min is still > TAXED_RATIO × its history min saw
+    # only taxed windows during the block — the in-loop grant already
+    # spent its one rerun and the window stayed bad.  While the hard
+    # wall allows, give such rows one more attempt each, most valuable
+    # first (the baseline gate rows), so a transient tax early in the
+    # window cannot be the round's official number when the window
+    # recovered by the end.  Each attempt lands in the runs array; the
+    # recorded min only improves.
+    RETRY_ORDER = [
+        "filtered_knn_yfcc_10m_ivf",
+        "knn_ip_10m_ivfsq_lo",
+        "knn_ip_10m_ivfsq",
+        "sparse_mips_8m84_budget",
+        "streaming_replay_1m",
+        "streaming_replay_1m_clustered",
+        "sparse_mips_1m",
+        "filtered_knn_yfcc_10m",
+    ]
+    for name in RETRY_ORDER:
+        hist = HIST_MIN_SEC.get(name)
+        t = timings.get(name)
+        if t is None or t < 0 or hist is None or t <= TAXED_RATIO * hist:
+            continue
+        elapsed = time.perf_counter() - t_proc
+        if elapsed + TAXED_RATIO * hist >= HARD_WALL_SEC:
+            continue
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        try:
+            registry.QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:
+            print(f"bench: retry {name} failed: {exc}", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        runs.setdefault(name, []).append(round(dt, 3))
+        if dt < timings[name]:
+            timings[name] = round(dt, 2)
+        print(f"bench: retry {name} {dt:.2f}s", file=sys.stderr)
+        print(
+            format_bench_line(
+                make_payload(timings, runs, sf, t_proc, partial=True)
+            )
+        )
+    payload = make_payload(timings, runs, sf, t_proc)
     if skipped:
         print(f"bench: wall cutoffs hit, skipped: {skipped}", file=sys.stderr)
         payload["skipped"] = len(skipped)
-    payload["bench_wall"] = round(time.perf_counter() - t_proc, 1)
+        # re-round-trip bench_wall after the skip key lands last
+        payload["bench_wall"] = round(time.perf_counter() - t_proc, 1)
     print(format_bench_line(payload))
     spark.stop()
+
+
+def taxed_rows(timings: dict[str, float]) -> list[str]:
+    """Rows whose recorded best is still a fault-tax artifact — over
+    TAXED_RATIO × the row's history min (VERDICT r10 wrong #2: the
+    headline queries map used to carry a taxed record silently; the
+    `taxed` payload key makes it machine-distinguishable from a
+    regression)."""
+    return sorted(
+        n
+        for n, t in timings.items()
+        if t > 0
+        and n in HIST_MIN_SEC
+        and t > TAXED_RATIO * HIST_MIN_SEC[n]
+    )
+
+
+def make_payload(
+    timings: dict[str, float],
+    runs: dict[str, list[float]],
+    sf: str,
+    t_proc: float,
+    partial: bool = False,
+) -> dict:
+    """Assemble the bench JSON payload.  The metric name stays
+    `headline_queries_total_wall` on partial lines too (ADVICE r10
+    considered a distinct name, but a consumer that only knows the real
+    metric would then record NOTHING from a killed run — the
+    `partial: true` key is the marker; last-line-wins consumers are
+    already correct)."""
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(t for t in timings.values() if t >= 0), 2),
+        "unit": "sec",
+        "queries": dict(timings),
+        "runs": {k: [round(t, 2) for t in v] for k, v in runs.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    tx = taxed_rows(timings)
+    if tx:
+        payload["taxed"] = tx
+    if partial:
+        payload["partial"] = True
+    payload["bench_wall"] = round(time.perf_counter() - t_proc, 1)
+    return payload
 
 
 def format_bench_line(payload: dict, limit: int = 1950) -> str:
