@@ -30,76 +30,71 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # r10 rotation (VERDICT r9 next #5): lead with the rows last
-    # checked r7 and promised back...
-    "dedup_exact",
-    "corpus_split",
-    "corpus_token_quantiles",
-    "corpus_stratified_sample",
-    # ...plus the r8 wave, now least-recently checked
-    "filtered_knn_meta",
-    "filtered_knn_scan",
-    "filtered_knn_sig",
-    "sparse_mips",
-    "sparse_mips_alpha",
-    "sparse_mips_budget",
-    "media_features",
-    "media_frame_sample",
-    "media_decode_stats",
-    "text_repetition",
-    "pii_scrub",
-    "events_hourly",
-    "ivf_full_probe",
-    "pq_adc_knn",
-    "ivfpq_knn",
-    "dedup_minhash",
-    "dedup_minhash_clusters",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "range_search_uint8",
-    "tag_pair_doc_freq",
-    "knn_ip_1m_nq8",
-    "knn_ip_1m_nq8_ood",
-    # r10 changed surface — the filteridx kernels were refactored
-    # (shared _group_queries/_flat_pairs helpers, cross-group probed
-    # union, precomputed bounds sidecars, gather broadcast pin): the
-    # two nq32 twins re-hash-check both meta plans against the same
-    # DuckDB oracle; the scale rows re-check rows-level at 100k/10M
-    "filtered_knn_yfcc_nq32",
-    "filtered_knn_yfcc_gather_nq32",
-    "filtered_knn_yfcc_100k",
-    "filtered_knn_yfcc_10m",
-    "filtered_knn_yfcc_10m_ivf",
-    "filtered_yfcc_recall_curve_10m",
-    # r10 changed surface — the ST4 trigger moved to insert-only
-    # (ADVICE r9, the reference's exact arithmetic): every replay row
-    # re-checks, the three oracled ones hash-level
+    # r11 rotation (VERDICT r10 next #3, the standing two-round
+    # cadence): the full r9 wave returns — every row hash-green in
+    # CORRECTNESS_r09 that yielded its slot to the r10 wave
+    "knn_l2",
+    "knn_ip",
+    "knn_cosine",
+    "knn_l2_batch",
+    "knn_result_matrix",
+    "recall_at_k",
+    "vector_norms",
+    "results_sink_roundtrip",
+    "filtered_knn_router",
+    "filtered_knn_100k_nq32",
+    "tag_doc_freq",
+    "tag_signatures",
+    "posting_intersection",
+    "posting_union",
+    "hybrid_rrf_search",
+    "sq_knn",
+    "ivfsq_knn",
+    "lsh_cosine_knn",
+    "tag_partition_knn",
+    "tag_pair_partition_knn",
+    "sparse_mips_8m84",
+    "sparse_mips_8m84_skewed",
+    "sparse_mips_8m84_budget",
+    "sparse_csr_roundtrip",
+    "binfmt_fetch_roundtrip",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast",
+    "q4_order_priority",
+    "orders_priority_rollup",
+    "customer_running_total",
+    "events_sessionize",
+    "doc_fingerprint",
+    "token_stats",
+    "token_stats_bpe",
+    "text_quality",
+    "lang_id_ngram",
+    "eval_contamination",
+    "dedup_substring_windows",
+    "dedup_substring_windows_hashed",
+    "streaming_dedup",
+    # r11 changed surface — the ST4 consolidation trigger now fires
+    # with zero pending tombstones when active alone reaches max_pts
+    # (reference-exact counter): physically a no-op, but every replay
+    # row re-checks, the three oracled ones hash-level
     "streaming_replay",
     "streaming_clustered_replay",
     "streaming_delete_replay",
     "streaming_replay_1m_ref_delete",
     "streaming_replay_1m_ref_clustered",
-    # r8-last-checked remainder (oracled rows preferred)
-    "knn_l2_expr",
-    "uint8_knn",
-    "binfmt_roundtrip",
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "dedup_filtered_corpus",
-    "corpus_mix_allocation",
-    "top_parts_per_brand",
-    "events_asof_join",
-    "signup_click_conversion",
-    "ivf_incremental_search",
-    "events_hourly_stream",
+    # r11 changed surface — probed-route compute trim (filteridx
+    # kernels): the two nq32 twins re-hash-check both meta plans
+    # against the same DuckDB oracle; the 100k row re-checks rows-level
+    "filtered_knn_yfcc_nq32",
+    "filtered_knn_yfcc_gather_nq32",
+    "filtered_knn_yfcc_100k",
     # every other query stays registered + pytest-checked.  Yielding
-    # their slot this round: the r9 wave (the 38 relational/text/knn
-    # rows hash-green in CORRECTNESS_r09, the 8.84M sparse rows, and
-    # lsh_cosine_knn).  Rows-only benched-every-round scale points
-    # (knn_ip_100k/1m/10m, knn_ip_1m_ivfsq, knn_ip_10m_ivfsq*,
-    # streaming_replay_1m*, sparse_mips_100k/1m, filtered_knn_100k,
-    # ood/recall curves) keep their BENCH coverage; returning in r11:
-    # the r9 wave on the standing two-round cadence.
+    # their slot this round: the r10 wave (all hash-green in
+    # CORRECTNESS_r10).  Rows-only benched-every-round scale points
+    # keep their BENCH coverage; returning in r12: the r10 wave on the
+    # standing two-round cadence.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
 
