@@ -563,6 +563,7 @@ def _score_tagview_probed(
 
         bgroups, boff, bf32, bnlist, bxn, bdir, bd = bc.value
         off32 = boff.astype(np.float32)
+        int8_direct = bf32 and _int_off_ok(boff)
         cap = max(
             65_536,
             8 * k * sum(len(g[1]) for gl in bgroups.values() for g in gl),
@@ -714,30 +715,44 @@ def _score_tagview_probed(
                     nb += len(qids)
                 if not pq_:
                     continue
-                # PHASE 2 — one decode of the cross-group row union, one
-                # chunked pair einsum over every group's pairs.  The
-                # einsum is per-pair independent, so batching groups
-                # together is bit-identical to the per-group loop.
+                # PHASE 2 — chunked pair scores over every group's
+                # pairs.  The einsum is per-pair independent, so
+                # batching groups together is bit-identical to the
+                # per-group loop.  Int8-direct fast path (r11 — the
+                # phase profile put 53% of serve-body time in the row
+                # union decode): with integer-exact queries, an
+                # integral grid offset, and persisted norms, score
+                # q·x = q·c + q·off straight off the int8 codes — the
+                # union decode drops out and per-pair code traffic
+                # falls 4× (192 B int8 vs 768 B decoded f32); the sum
+                # split is bit-exact (see _int_off_ok).
                 rows_cat = np.concatenate([g[3] for g in pq_])
-                ur, inv = _row_union(rows_cat, n)
-                pos = inv[rows_cat]
-                if bf32:  # integer-exact f32 (knn_join contract)
-                    Xu = C8[ur].astype(np.float32) + off32[None, :]
-                else:
-                    Xu = C8[ur].astype(np.float64) + boff[None, :]
-                xn_u = xn_col[ur] if xn_col is not None else _sqnorms(Xu)
                 QU = np.concatenate([g[2] for g in pq_], axis=0)
                 qidx = np.concatenate([g[1] for g in pq_])
                 qid_cat = np.concatenate([g[0] for g in pq_])
                 qn_u = (QU * QU).sum(axis=1)
                 Qm = QU.astype(np.float32) if bf32 else QU
-                g = np.empty(len(rows_cat), dtype=np.float64)
-                for clo in range(0, len(rows_cat), _PAIR_CHUNK):
-                    chi = min(clo + _PAIR_CHUNK, len(rows_cat))
-                    g[clo:chi] = np.einsum(
-                        "ij,ij->i", Qm[qidx[clo:chi]], Xu[pos[clo:chi]]
-                    ).astype(np.float64)
-                dist = qn_u[qidx] - 2.0 * g + xn_u[pos]
+                if int8_direct and xn_col is not None:
+                    qoff = QU @ boff  # f64 exact: integer q · integer off
+                    g = _int8_pair_scores(Qm, qidx, C8, rows_cat)
+                    dist = (
+                        qn_u[qidx] - 2.0 * (g + qoff[qidx]) + xn_col[rows_cat]
+                    )
+                else:
+                    ur, inv = _row_union(rows_cat, n)
+                    pos = inv[rows_cat]
+                    if bf32:  # integer-exact f32 (knn_join contract)
+                        Xu = C8[ur].astype(np.float32) + off32[None, :]
+                    else:
+                        Xu = C8[ur].astype(np.float64) + boff[None, :]
+                    xn_u = xn_col[ur] if xn_col is not None else _sqnorms(Xu)
+                    g = np.empty(len(rows_cat), dtype=np.float64)
+                    for clo in range(0, len(rows_cat), _PAIR_CHUNK):
+                        chi = min(clo + _PAIR_CHUNK, len(rows_cat))
+                        g[clo:chi] = np.einsum(
+                            "ij,ij->i", Qm[qidx[clo:chi]], Xu[pos[clo:chi]]
+                        ).astype(np.float64)
+                    dist = qn_u[qidx] - 2.0 * g + xn_u[pos]
                 np.maximum(dist, 0.0, out=dist)
                 out_q.append(qid_cat)
                 out_i.append(ids[rows_cat])
@@ -760,6 +775,49 @@ def _score_tagview_probed(
 #: pair-scoring chunk: per-chunk gather buffers are 2 × CH × d × 4 B
 #: (≈ 50 MB at d=192) — bounded however many candidate pairs a unit has
 _PAIR_CHUNK = 65_536
+
+
+def _int_off_ok(off: np.ndarray) -> bool:
+    """Corpus-side precondition for the int8-direct pair scorer: with
+    the lossless integer grid (`sq.is_lossless_grid` — integral vmin,
+    scale 1) the decode offset is integral with |off| ≤ 128+255, so
+    splitting q·(c+off) into q·c + q·off keeps every product and
+    partial sum under 2²⁴ whenever the query gate (_f32_exact_ok:
+    |q| ≤ 255 integral, d ≤ 192) holds: |Σ q_j c_j| ≤ 192·255·128
+    ≈ 6.3M and |Σ q_j off_j| ≤ 192·255·255 ≈ 12.5M — both f32-exact
+    integers, so the split is BIT-IDENTICAL to decode-then-dot in any
+    summation order."""
+    return (
+        off.ndim == 1
+        and len(off) <= 192
+        and bool(
+            np.array_equal(off, np.rint(off))
+            and np.abs(off).max(initial=0.0) <= 255
+        )
+    )
+
+
+def _int8_pair_scores(
+    Qm32: np.ndarray,
+    qidx: np.ndarray,
+    C8,
+    rows: np.ndarray,
+    chunk: int = _PAIR_CHUNK,
+) -> np.ndarray:
+    """Per-(query, row) dot products STRAIGHT OFF the int8 codes —
+    f64 Σ_j q_j·code_j per pair, chunked.  The caller adds the per-query
+    rebase q·off (see _int_off_ok for why the split stays bit-exact):
+    the row union decode — the probed/meta serve loops' single largest
+    memory-traffic term (int8 gather + f32 cast + offset add, ~4 B/B of
+    codes written) — drops out entirely; each chunk touches 192 B/row
+    of codes instead of 768 B/row of decoded floats."""
+    g = np.empty(len(rows), dtype=np.float64)
+    for clo in range(0, len(rows), chunk):
+        chi = min(clo + chunk, len(rows))
+        g[clo:chi] = np.einsum(
+            "ij,ij->i", Qm32[qidx[clo:chi]], C8[rows[clo:chi]]
+        ).astype(np.float64)
+    return g
 
 #: build the probed-tag lookup table only while it stays broadcast-small
 #: (int32 LUT over 0..max_tag — 262k-tag yfcc vocab ≈ 1 MB); a sparse /
@@ -1218,9 +1276,11 @@ def _score_meta_bin(
         bscan, bflat, bmulti, bprobed, boff, bf32, bdir, bd = bc.value
         off32 = boff.astype(np.float32)
         offd = boff if not bf32 else off32
+        int8_direct = bf32 and _int_off_ok(boff)
         fqids, fQ, frarer, fother = bflat
         fQ32 = fQ.astype(np.float32)
         fqn = (fQ * fQ).sum(axis=1)
+        fqoff = fQ @ boff if int8_direct else None  # f64 exact rebase
         nq_all = (
             len(fqids)
             + sum(len(g[1]) for g in bmulti)
@@ -1287,12 +1347,19 @@ def _score_meta_bin(
                 n_flat = len(qrep) if rows is not None else 0
                 if n_flat:
                     Qm = fQ32 if bf32 else fQ
-                    np_d = np.empty(n_flat, dtype=np.float64)
-                    for plo in range(0, n_flat, _PAIR_CHUNK):
-                        phi = min(plo + _PAIR_CHUNK, n_flat)
-                        B = gather(C8, rows[plo:phi])
-                        g = np.einsum("ij,ij->i", Qm[qrep[plo:phi]], B)
-                        np_d[plo:phi] = g.astype(np.float64)
+                    if int8_direct:
+                        # int8-direct scoring (r11): q·x = q·c + q·off
+                        # straight off the codes bin — no per-chunk f32
+                        # decode buffer; bit-exact per _int_off_ok
+                        np_d = _int8_pair_scores(Qm, qrep, C8, rows)
+                        np_d += fqoff[qrep]
+                    else:
+                        np_d = np.empty(n_flat, dtype=np.float64)
+                        for plo in range(0, n_flat, _PAIR_CHUNK):
+                            phi = min(plo + _PAIR_CHUNK, n_flat)
+                            B = gather(C8, rows[plo:phi])
+                            g = np.einsum("ij,ij->i", Qm[qrep[plo:phi]], B)
+                            np_d[plo:phi] = g.astype(np.float64)
                     dist = fqn[qrep] - 2.0 * np_d + xn[rows]
                     np.maximum(dist, 0.0, out=dist)
                     out_q.append(fqids[qrep])

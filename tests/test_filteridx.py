@@ -684,3 +684,38 @@ def test_rebuild_in_place_retires_stale_sidecars(spark, tmp_path):
     assert len(got) and (got["id"] >= 1_000_000).all(), (
         "stale sidecars served the old corpus"
     )
+
+
+def test_int8_direct_path_bit_identical(spark, built, monkeypatch):
+    """r11 fast path: the probed/meta-bin kernels score q·x = q·c + q·off
+    straight off the int8 codes when the f32-exact gate + integral grid
+    offset + persisted norms hold — results must be BIT-identical to the
+    decode-then-dot path (the split-sum exactness argument in
+    _int_off_ok).  Force the slow path via the gate and compare."""
+    import pandas as pd
+
+    from filter_vectordb_spark.index import filteridx_kernels as fk
+
+    out, _base = built
+    q = synth_yfcc_queries(spark, nq=64)
+    fast = (
+        filtered_search(spark, out, q, k=10, nprobe=4)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(fk, "_int_off_ok", lambda off: False)
+    slow = (
+        filtered_search(spark, out, q, k=10, nprobe=4)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+    # the gate itself accepts the fixture's grid (so `fast` above really
+    # exercised the int8-direct path, not the fallback twice)
+    from filter_vectordb_spark.index.filteridx import _load_routing
+
+    off = _load_routing(spark, out)[3]
+    monkeypatch.undo()
+    assert fk._int_off_ok(off), "fixture grid must take the fast path"
