@@ -358,6 +358,7 @@ def _score_tagview(
         from filter_vectordb_spark.operators.knn import gemm_topk, task_topk_merge
 
         bgroups, boff, bf32, bxn, bdir, bd = bc.value
+        int8_direct = bf32 and _int_off_ok(boff)
         cap = max(
             65_536,
             8 * k * sum(len(g[1]) for gl in bgroups.values() for g in gl),
@@ -445,11 +446,17 @@ def _score_tagview(
                     continue  # every group masked and no candidates here
                 # decode: the whole unit when a single-tag group scans it
                 # anyway (GEMM over all rows), else only the union of the
-                # masked groups' candidate rows (VERDICT r8 #1b)
+                # masked groups' candidate rows (VERDICT r8 #1b) — and
+                # with the r11 int8-direct path (persisted norms +
+                # integral grid) not even that: masked pairs score
+                # straight off the int8 codes below
+                fast_pairs = (
+                    not has_single and int8_direct and xn_col is not None
+                )
                 if has_single:
                     X_all = _decode(codes_src, None, n, boff, bf32)
                     xn_all = xn_col if xn_col is not None else _sqnorms(X_all)
-                else:
+                elif not fast_pairs:
                     rcat = np.concatenate([g[3] for g in pq_])
                     ur, inv_u = _row_union(rcat, n)
                     XU = _decode(codes_src, ur, n, boff, bf32)
@@ -473,23 +480,43 @@ def _score_tagview(
                     qidx = np.concatenate([g[1] for g in pq_])
                     qid_cat = np.concatenate([g[0] for g in pq_])
                     rows_cat = np.concatenate([g[3] for g in pq_])
-                    if has_single:
-                        XP, upos = X_all, rows_cat
-                        xn_rows = xn_all[rows_cat]
-                    else:
-                        XP, upos = XU, inv_u[rows_cat]
-                        xn_rows = xn_u[upos]
                     qn_u = (QU * QU).sum(axis=1)
-                    Qm = QU.astype(np.float32) if XP.dtype == np.float32 else QU
-                    g = np.empty(len(rows_cat), dtype=np.float64)
-                    for clo in range(0, len(rows_cat), _PAIR_CHUNK):
-                        chi = min(clo + _PAIR_CHUNK, len(rows_cat))
-                        g[clo:chi] = np.einsum(
-                            "ij,ij->i",
-                            Qm[qidx[clo:chi]],
-                            XP[upos[clo:chi]],
-                        ).astype(np.float64)
-                    dist = qn_u[qidx] - 2.0 * g + xn_rows
+                    if fast_pairs:
+                        # int8-direct (r11, see _int_off_ok): no decode
+                        C8m = (
+                            codes_src
+                            if isinstance(codes_src, np.ndarray)
+                            else _codes_matrix(codes_src, n)
+                        )
+                        Qm = QU.astype(np.float32)
+                        qoff = QU @ boff
+                        g = _int8_pair_scores(Qm, qidx, C8m, rows_cat)
+                        dist = (
+                            qn_u[qidx]
+                            - 2.0 * (g + qoff[qidx])
+                            + xn_col[rows_cat]
+                        )
+                    else:
+                        if has_single:
+                            XP, upos = X_all, rows_cat
+                            xn_rows = xn_all[rows_cat]
+                        else:
+                            XP, upos = XU, inv_u[rows_cat]
+                            xn_rows = xn_u[upos]
+                        Qm = (
+                            QU.astype(np.float32)
+                            if XP.dtype == np.float32
+                            else QU
+                        )
+                        g = np.empty(len(rows_cat), dtype=np.float64)
+                        for clo in range(0, len(rows_cat), _PAIR_CHUNK):
+                            chi = min(clo + _PAIR_CHUNK, len(rows_cat))
+                            g[clo:chi] = np.einsum(
+                                "ij,ij->i",
+                                Qm[qidx[clo:chi]],
+                                XP[upos[clo:chi]],
+                            ).astype(np.float64)
+                        dist = qn_u[qidx] - 2.0 * g + xn_rows
                     np.maximum(dist, 0.0, out=dist)
                     out_q.append(qid_cat)
                     out_i.append(ids[rows_cat])
@@ -1025,9 +1052,11 @@ def _score_meta(
         from filter_vectordb_spark.operators.knn import gemm_topk, task_topk_merge
 
         bscan, bflat, bmulti, bprobed, blut, boff, bf32, bxn = bc.value
+        int8_direct = bf32 and _int_off_ok(boff)
         fqids, fQ, frarer, fother = bflat
         fQ32 = fQ.astype(np.float32)
         fqn = (fQ * fQ).sum(axis=1)
+        fqoff = fQ @ boff if int8_direct else None  # f64 exact rebase
         nq_all = (
             len(fqids)
             + sum(len(g[1]) for g in bmulti)
@@ -1080,9 +1109,18 @@ def _score_meta(
                 codes_col = pf.read_row_groups(rgs, columns=["codes"]).column(
                     "codes"
                 )
-                parts = ([rows[:n_flat]] if n_flat else []) + [
-                    m[0] for m in mhits
-                ]
+                # int8-direct fast path (r11, see _int_off_ok): with
+                # persisted norms + the integral grid, the flat pairs
+                # score straight off the int8 codes view — only the
+                # >2-tag GEMM row sets still decode; a scan-all batch
+                # decodes every row anyway, so the fast path stands
+                # down there
+                fast_flat = (
+                    int8_direct and xn_col is not None and bscan is None
+                )
+                parts = (
+                    [rows[:n_flat]] if n_flat and not fast_flat else []
+                ) + [m[0] for m in mhits]
                 if parts:
                     ur, inv_u = _row_union(np.concatenate(parts), n)
                 else:
@@ -1092,21 +1130,27 @@ def _score_meta(
                     X_all = _decode(codes_col, None, n, boff, bf32)
                     xn_all = xn_col if xn_col is not None else _sqnorms(X_all)
                     XU = X_all
-                else:
+                elif len(ur):
                     XU = _decode(codes_col, ur, n, boff, bf32)
                     xn_u = xn_col[ur] if xn_col is not None else _sqnorms(XU)
 
                 if n_flat:
-                    up = rows if full else inv_u[rows]
-                    xn_rows = xn_all[rows] if full else xn_u[up]
-                    Qm = fQ32 if XU.dtype == np.float32 else fQ
-                    np_d = np.empty(n_flat, dtype=np.float64)
-                    for plo in range(0, n_flat, _PAIR_CHUNK):
-                        phi = min(plo + _PAIR_CHUNK, n_flat)
-                        a = Qm[qrep[plo:phi]]
-                        b = XU[up[plo:phi]]
-                        g = np.einsum("ij,ij->i", a, b)
-                        np_d[plo:phi] = g.astype(np.float64)
+                    Qm = fQ32 if bf32 else fQ
+                    if fast_flat and not full:
+                        C8m = _codes_matrix(codes_col, n)
+                        np_d = _int8_pair_scores(Qm, qrep, C8m, rows)
+                        np_d += fqoff[qrep]
+                        xn_rows = xn_col[rows]
+                    else:
+                        up = rows if full else inv_u[rows]
+                        xn_rows = xn_all[rows] if full else xn_u[up]
+                        np_d = np.empty(n_flat, dtype=np.float64)
+                        for plo in range(0, n_flat, _PAIR_CHUNK):
+                            phi = min(plo + _PAIR_CHUNK, n_flat)
+                            a = Qm[qrep[plo:phi]]
+                            b = XU[up[plo:phi]]
+                            g = np.einsum("ij,ij->i", a, b)
+                            np_d[plo:phi] = g.astype(np.float64)
                     dist = fqn[qrep] - 2.0 * np_d + xn_rows
                     np.maximum(dist, 0.0, out=dist)
                     out_q.append(fqids[qrep])

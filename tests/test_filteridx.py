@@ -698,20 +698,22 @@ def test_int8_direct_path_bit_identical(spark, built, monkeypatch):
 
     out, _base = built
     q = synth_yfcc_queries(spark, nq=64)
-    fast = (
-        filtered_search(spark, out, q, k=10, nprobe=4)
-        .toPandas()
-        .sort_values(["qid", "rank"])
-        .reset_index(drop=True)
-    )
+    # probed mode exercises the probed/meta-bin kernels; exact mode the
+    # tagview masked-pair and meta-sweep flat paths
+    modes = ({}, {"nprobe": 4})
+
+    def run(kw):
+        return (
+            filtered_search(spark, out, q, k=10, **kw)
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+
+    fast = [run(kw) for kw in modes]
     monkeypatch.setattr(fk, "_int_off_ok", lambda off: False)
-    slow = (
-        filtered_search(spark, out, q, k=10, nprobe=4)
-        .toPandas()
-        .sort_values(["qid", "rank"])
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(fast, slow)
+    for kw, fast_df in zip(modes, fast):
+        pd.testing.assert_frame_equal(fast_df, run(kw))
     # the gate itself accepts the fixture's grid (so `fast` above really
     # exercised the int8-direct path, not the fallback twice)
     from filter_vectordb_spark.index.filteridx import _load_routing
