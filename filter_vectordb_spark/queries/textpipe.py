@@ -256,6 +256,58 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_L = 30  # char window length for exact-substring duplication
 
 
+def _substring_windows(docs: DataFrame, key_col) -> DataFrame:
+    """Shared shape of both substring-dedup variants (r11 rewrite,
+    guide §2.3/§2.4 — measured 6.4 → 2.3 s string / 3.2 → 2.1 s hashed
+    at sf0.1, bit-identical output):
+
+    - Windows come from ONE Generate: explode the OFFSET sequence and
+      take substring(text, i, L) as a top-level codegen'd projection.
+      The old plan evaluated an interpreted `transform(..., lambda)`
+      Generate TWICE (once feeding the count aggregate, once the join
+      probe side) — one full extra pass over corpus chars.
+    - The per-window corpus count is `count(*) OVER (PARTITION BY win)`
+      instead of groupBy(win) + join back: ONE exchange of the window
+      rows replaces the old aggregate exchange + join-probe exchange,
+      i.e. the corpus-sized data crosses the network once, not twice
+      (the WindowExec sort is work a sort-merge join would also pay at
+      the scale where the count side stops broadcasting).
+
+    Guard docs shorter than L chars: sequence(1, non-positive) counts
+    DOWN in Spark, which would fabricate windows the oracle (whose
+    range() yields an empty list) never sees."""
+    from pyspark.sql import Window
+
+    L = _SUBSTR_L
+    w = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) >= {L} THEN"
+                f" sequence(1, length(text) - {L} + 1)"
+                f" ELSE array() END"
+            )
+        ).alias("i"),
+    ).select("doc_id", key_col)
+    key = w.columns[1]
+    wn = w.withColumn("n", F.count("*").over(Window.partitionBy(key)))
+    d = wn.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+    )
+    return d.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        (F.col("n_dup_windows") * 5 > F.col("n_windows")).alias("substring_dup"),
+    )
+
+
+
+
 @register(
     "dedup_substring_windows",
     f"""
@@ -278,57 +330,27 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deduplicating Training Data Makes Language Models Better"): every
     {_SUBSTR_L}-char sliding window of every document, counted across the
     corpus; a document is flagged when >20% of its windows occur more
-    than once corpus-wide.  This is the windowed (hash-join) variant of
-    the paper's suffix-array method — the distributed shape is explode →
-    one groupBy(window) with map-side combine → hash-join back, i.e.
-    shuffle rows ∝ corpus chars, the standard layout at cluster scale
-    (a 64-bit rolling hash replaces the string key at 100 TB; the join
+    than once corpus-wide.  This is the windowed variant of the paper's
+    suffix-array method — the distributed shape is one explode → one
+    exchange keyed on the window (count-over-partition) → per-doc
+    aggregate, i.e. corpus chars cross the network once (a 64-bit
+    rolling hash replaces the string key at 100 TB; the exchange
     cardinality, not the representation, is the cost)."""
     from filter_vectordb_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    L = _SUBSTR_L
     # substring with a dynamic start index needs SQL expr (the Python
     # F.substring signature takes literal positions only)
-    # Guard docs shorter than L chars: sequence(1, negative) counts DOWN
-    # in Spark, which would fabricate windows the oracle (whose range()
-    # yields an empty list) never sees — same trap ngrams_of_tokens guards.
-    w = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(text) >= {L} THEN"
-                f" transform(sequence(1, length(text) - {L} + 1),"
-                f" i -> substring(text, i, {L}))"
-                f" ELSE array() END"
-            )
-        ).alias("win"),
-    )
-    c = w.groupBy("win").agg(F.count("*").alias("n"))
-    d = (
-        w.join(c, "win")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_windows"),
-        )
-    )
-    return d.select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        (F.col("n_dup_windows") * 5 > F.col("n_windows")).alias("substring_dup"),
-    )
+    win = F.expr(f"substring(text, i, {_SUBSTR_L})").alias("win")
+    return _substring_windows(docs, win)
 
 
 @register("dedup_substring_windows_hashed", ORACLES["dedup_substring_windows"])
 def dedup_substring_windows_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of dedup_substring_windows (VERDICT r4 #4):
-    identical flags, but the groupBy/join key is xxhash64(window) — an
+    identical flags, but the exchange key is xxhash64(window) — an
     8-byte key instead of the raw {_SUBSTR_L}-char string, ~4× fewer
-    shuffle bytes on the corpus-sized exchanges (Lee et al.'s method is
+    shuffle bytes on the corpus-sized exchange (Lee et al.'s method is
     hash-based anyway).  The string variant stays registered as the
     oracle twin; THIS query shares its DuckDB oracle because the output
     (per-doc counts + flag) never exposes the key — a 64-bit collision
@@ -338,35 +360,8 @@ def dedup_substring_windows_hashed(spark: SparkSession, sf_dir: str) -> DataFram
     from filter_vectordb_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
-    L = _SUBSTR_L
-    w = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(text) >= {L} THEN"
-                f" transform(sequence(1, length(text) - {L} + 1),"
-                f" i -> xxhash64(substring(text, i, {L})))"
-                f" ELSE array() END"
-            )
-        ).alias("win_h"),
-    )
-    c = w.groupBy("win_h").agg(F.count("*").alias("n"))
-    d = (
-        w.join(c, "win_h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_windows"),
-        )
-    )
-    return d.select(
-        "doc_id",
-        "n_windows",
-        "n_dup_windows",
-        (F.col("n_dup_windows") * 5 > F.col("n_windows")).alias("substring_dup"),
-    )
+    win_h = F.expr(f"xxhash64(substring(text, i, {_SUBSTR_L}))").alias("win_h")
+    return _substring_windows(docs, win_h)
 
 
 _MIX_BUDGET = 100_000  # token budget to allocate across languages

@@ -210,3 +210,20 @@ def test_substring_windows_hashed_shuffles_on_8byte_key(spark):
     plan = physical_plan(df)
     assert "hashpartitioning(win_h" in plan, plan
     assert "hashpartitioning(win#" not in plan and "hashpartitioning(win," not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_substring_windows", "dedup_substring_windows_hashed"]
+)
+def test_substring_windows_single_generate_single_wide_exchange(spark, name):
+    """r11 shape: corpus windows are generated ONCE (the old plan ran the
+    explode twice — once feeding the count aggregate, once the join probe
+    side) and cross the network ONCE (count-over-window partition instead
+    of groupBy + join back).  Exactly one Generate and exactly two
+    Exchanges (window key + doc_id aggregate), no join."""
+    from filter_vectordb_spark.registry import QUERIES
+
+    plan = physical_plan(QUERIES[name](spark, SF_DIR))
+    assert plan.count("+- Generate") == 1, plan
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2, plan
+    assert "Join" not in plan, plan
