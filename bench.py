@@ -379,6 +379,15 @@ def main() -> None:
     # and the index caches persist per host anyway, so warming those
     # names bought nothing on a warm host and ~40s of wall every run.
     # What stays is what a SINGLE-RUN timed query would otherwise pay:
+    # r11: the min-of-2 registry rows that fit a per-sf_dir index on
+    # first call are warmed too — on a FRESH host (no /tmp cache) even
+    # the second run can land behind a >RERUN_BELOW_SEC first run and
+    # the recorded number is then fit+search (r11 before-run: sq_knn
+    # 33.9 s vs ~1.1 s warm, ivfpq_knn 30.5 vs ~1.6 — both single-run
+    # because run 1 blew the 20 s rerun cutoff).  fit() is not search
+    # (the reference's QPS protocol, filter/run.py): one untimed
+    # invocation each moves the build into staging where the protocol
+    # already puts every other index; on a warm host each costs ~1 s.
     for warm in (
         "knn_ip_1m_ivfsq",  # stages the 1M base + builds the IVF+SQ8 index
         "knn_ip_10m_ivfsq",  # stages the 10M base + builds IVF(3200)+SQ8
@@ -389,6 +398,19 @@ def main() -> None:
         # staging is covered by the knn_ip_10m_ivfsq warm above, and the
         # driver's correctness sweep refreshes the persisted curve
         # artifact every round anyway
+        # the per-sf_dir index fits (r11 note above): ivf16 / pq32x64 /
+        # sq8 / ivfsq16 / ivfpq16_32x64 / tagpart / tagpair / tagstats /
+        # lsh16 / langprof caches
+        "ivf_full_probe",
+        "pq_adc_knn",
+        "sq_knn",
+        "ivfsq_knn",
+        "ivfpq_knn",
+        "tag_partition_knn",
+        "tag_pair_partition_knn",
+        "filtered_knn_router",
+        "lsh_cosine_knn",
+        "lang_id_ngram",
         # not an index build: first stateful-stream start pays one-time
         # Python worker + state-store spin-up (~10s); warm it so the
         # timed entry measures the stream, not engine init
