@@ -433,6 +433,12 @@ def main() -> None:
     for stager in (
         _fx._synth_sparse1m_terms_dir,
         _fx._synth_sparse1m_queries,
+        # r12: the plain 1M replay base too — streaming_replay_1m is a
+        # single-run row, and the stagers now self-heal a coarse file
+        # layout (a cache staged by a low-core session caps scan-kernel
+        # task units; see fixtures._BASE_FILES); the regenerate must
+        # land here, never inside the timed run
+        _fx._synth_msturing1m,
         _fx._synth_msturing1m_clustered,
         # the yfcc filtered-serving index (stats/grid/codes/tagview/pair)
         # is fit(), not search — ~minutes cold at 10M, never inside the

@@ -16,6 +16,46 @@ from pyspark.sql import functions as F
 
 from filter_vectordb_spark.queries.core import _index_cache_dir, _is_built
 
+#: serving-layout file count for the direct-read corpora (r12, guide
+#: §2.5/§6): the scan kernels form (file, row-group) task units, so the
+#: staged layout CAPS their parallelism.  The old stagers inherited the
+#: STAGING session's partitioning — a cache first built by an 8-core
+#: run (the driver benches at low core counts too) permanently pinned
+#: the 32-core exact anchors to 8-16 oversized units (measured: the 1M
+#: anchor ran 8 tasks of 98 GFLOP each with 24 cores idle; the
+#: driver-recorded knn_ip_10m 32c/8c anti-scaling is this layout, 16
+#: units of 625k rows thrashing memory bandwidth).  A FIXED count —
+#: independent of whoever stages first — with ~16 MB row groups keeps
+#: units fine enough for any core count in the driver's sweep; at
+#: cluster scale the same rule is "size file × row-group units to the
+#: task grain, never to the writer's parallelism".
+_BASE_FILES = 128
+#: stagers self-heal a coarser persisted layout (a pre-r12 cache or one
+#: staged at low core count): below this file count the fixture is
+#: regenerated — deterministic generators, so the VALUES are identical;
+#: only the file/row-group grain changes.  Build-time work by design.
+_MIN_BASE_FILES = 64
+
+
+def _layout_ok(d: str, min_files: int = _MIN_BASE_FILES) -> bool:
+    import glob
+
+    return len(glob.glob(f"{d}/*.parquet")) >= min_files
+
+
+def _write_base(df: DataFrame, out: str, n_files: int = _BASE_FILES) -> None:
+    """Write a direct-read corpus in the fixed serving layout: n_files
+    CONTIGUOUS-id files (min/max stats keep range predicates prunable —
+    the streaming replays slice inserts by id range), ~16 MB row groups
+    (sub-splittable by _rg_units at higher core counts)."""
+    (
+        df.repartitionByRange(n_files, "id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 16 * 1024 * 1024)
+        .parquet(out)
+    )
+
+
 # ------------------------------------------------------------- 100k fixture
 
 
@@ -24,8 +64,8 @@ def _synth100k_base(spark: SparkSession) -> DataFrame:
     from filter_vectordb_spark.sources.synth import synth_uint8_base
 
     out = _index_cache_dir("synth100k_v2", "base")
-    if not _is_built(out):
-        synth_uint8_base(spark).select("id", "emb").write.mode("overwrite").parquet(out)
+    if not (_is_built(out) and _layout_ok(out, 32)):
+        _write_base(synth_uint8_base(spark).select("id", "emb"), out, 32)
     return spark.read.parquet(out)
 
 
@@ -70,10 +110,8 @@ def _synth1m_base(spark: SparkSession) -> DataFrame:
     from filter_vectordb_spark.sources.synth import synth_uint8_base
 
     bdir = _index_cache_dir("synth1m_v2", "base")
-    if not _is_built(bdir):
-        synth_uint8_base(spark, n=1_000_000).select("id", "emb").write.mode(
-            "overwrite"
-        ).parquet(bdir)
+    if not (_is_built(bdir) and _layout_ok(bdir)):
+        _write_base(synth_uint8_base(spark, n=1_000_000).select("id", "emb"), bdir)
     return spark.read.parquet(bdir)
 
 
@@ -111,10 +149,8 @@ def _synth10m_base(spark: SparkSession) -> DataFrame:
     from filter_vectordb_spark.sources.synth import synth_uint8_base
 
     bdir = _index_cache_dir("synth10m_v2", "base")
-    if not _is_built(bdir):
-        synth_uint8_base(spark, n=_10M_N).select("id", "emb").write.mode(
-            "overwrite"
-        ).parquet(bdir)
+    if not (_is_built(bdir) and _layout_ok(bdir)):
+        _write_base(synth_uint8_base(spark, n=_10M_N).select("id", "emb"), bdir)
     return spark.read.parquet(bdir)
 
 
@@ -372,7 +408,7 @@ def _synth_msturing1m_clustered(spark: SparkSession) -> tuple[DataFrame, str]:
     # lists every non-underscore file in its directory
     ydir = _index_cache_dir("msturing1m_v2", "clustered_runbook")
     ypath = os.path.join(ydir, "delete_runbook.yaml")
-    if not (_is_built(out) and os.path.exists(ypath)):
+    if not (_is_built(out) and os.path.exists(ypath) and _layout_ok(out)):
         os.makedirs(ydir, exist_ok=True)
         src = _synth_msturing1m(spark).filter(F.col("id") < 1_000_000)
         assignments, _ = build_ivf(
@@ -380,9 +416,7 @@ def _synth_msturing1m_clustered(spark: SparkSession) -> tuple[DataFrame, str]:
         )
         labeled = assignments.withColumnRenamed("centroid_id", "label")
         permuted, offsets = cluster_permutation(labeled)
-        permuted.select(F.col("new_id").alias("id"), "emb").repartition(
-            spark.sparkContext.defaultParallelism
-        ).write.mode("overwrite").parquet(out)
+        _write_base(permuted.select(F.col("new_id").alias("id"), "emb"), out)
         tmp = ypath + ".tmp"
         generate_delete_runbook(offsets, tmp, dataset="msturing-1m-clustered")
         os.replace(tmp, ypath)
@@ -448,8 +482,8 @@ def _synth_msturing1m(spark: SparkSession) -> DataFrame:
     from filter_vectordb_spark.sources.synth import synth_uint8_base
 
     out = _index_cache_dir("msturing1m_v2", "base")
-    if not _is_built(out):
-        synth_uint8_base(spark, n=1_008_192, d=100).select("id", "emb").write.mode(
-            "overwrite"
-        ).parquet(out)
+    if not (_is_built(out) and _layout_ok(out)):
+        _write_base(
+            synth_uint8_base(spark, n=1_008_192, d=100).select("id", "emb"), out
+        )
     return spark.read.parquet(out)
