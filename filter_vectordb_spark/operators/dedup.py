@@ -116,25 +116,55 @@ def jaccard_pairs(
     Returns (id_a, id_b, common, size_a, size_b) with id_a < id_b —
     integer counts only, so threshold comparisons are engine-identical
     (common·1.0/(sa+sb−common) of identical ints).
+
+    Shape (r12, guide §2.4/§5): the shingle pipeline (tokenize → 3-gram
+    transform → array_distinct) is evaluated ONCE per join side — the
+    per-doc shingle-set size rides along as a `size(shs)` PROJECTION
+    and becomes a (functionally dependent) group key, instead of two
+    extra full pipeline evaluations + groupBy + join-back per side.
+    The r11 plan ran the scan→tokenize→shingle subtree FOUR times (the
+    self-join sides plus both size joins, plans/r12/dedup_jaccard_pairs
+    _before.txt nodes 1-7/8-15/20-28/32-41); tokenization is the
+    dominant per-task compute, so on a memory-taxed host 32 concurrent
+    tasks × 4 evaluations was the anti-scaling amplification surface
+    (VERDICT r11 #1).  The identical repartition("id") barriers on both
+    remaining sides additionally canonicalize to ONE exchange at
+    runtime (AQE stage reuse).
     """
     # no .cache() here: a leaked cache pins blocks in the JVM old gen and
     # taxes every subsequent query with GC (observed 4-5× slowdowns); the
-    # exchange barrier in shingle_table keeps re-evaluation cheap
-    sh = shingle_table(docs, n, id_col, text_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("nsh"))
+    # exchange barrier keeps re-evaluation cheap
+    arrs = shingle_arrays(docs, n, id_col, text_col)
+    # explode_OUTER — see lsh_buckets: avoids the pushed-down size()>0
+    # filter that re-inlines the shingle expression at the scan; nsh is
+    # exact because shs is array_distinct'ed per doc by construction
+    sized = arrs.repartition("id").select(
+        "id",
+        F.size("shs").cast("long").alias("nsh"),  # count()'s BIGINT type
+        "shs",
+    )
+    sh = sized.select("id", "nsh", F.explode_outer("shs").alias("shingle"))
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("nsh").alias("size_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("nsh").alias("size_b"), "shingle"
+    )
     pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("common"))
     )
-    withsz = (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("nsh", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("nsh", "size_b"), "id_b")
-    )
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
-    return withsz.filter(jac >= tau).select("id_a", "id_b", "common", "size_a", "size_b")
+    # coalesce() keeps the threshold filter null-TOLERANT: a bare
+    # `jac >= tau` lets Catalyst infer isnotnull(size_a/b) and push it
+    # below the join to the scan, re-inlining the whole shingle
+    # expression as a per-row filter (measured 5× the query).  Counts
+    # are never null, so the result set is identical.
+    return pairs.filter(F.coalesce(jac >= tau, F.lit(False))).select(
+        "id_a", "id_b", "common", "size_a", "size_b"
+    )
 
 
 def char_hash_py(s: str) -> int:

@@ -227,3 +227,26 @@ def test_substring_windows_single_generate_single_wide_exchange(spark, name):
     assert plan.count("+- Generate") == 1, plan
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_jaccard_pairs_two_subtrees_no_size_joins(spark):
+    """r12 shape (VERDICT r11 #1): the shingle pipeline (tokenize →
+    3-gram transform → array_distinct) is evaluated exactly TWICE (the
+    self-join sides) — the r11 plan ran it FOUR times because the per-doc
+    shingle counts were recomputed via two groupBy + join-back subtrees.
+    Sizes now ride along as a size(shs) projection, so the plan has ONE
+    join (the shingle equi-join) and no scan feeding a size aggregate;
+    the re-inlining trap (a null-intolerant threshold filter pushing
+    isnotnull(size(...)) into the scan) is also pinned closed."""
+    from filter_vectordb_spark.registry import QUERIES
+
+    plan = physical_plan(QUERIES["dedup_jaccard_pairs"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2 * 2, plan  # tree + detail lines
+    assert plan.count("Join type:") == 1, plan  # exactly one join
+    # the scan-level filter must not have the shingle transform inlined
+    # (the isnotnull(size(array_distinct(...))) pushdown regression)
+    import re
+
+    scan_filters = re.findall(r"\(2\) Filter\nInput.*\nCondition : (.*)", plan)
+    for cond in scan_filters:
+        assert "array_distinct" not in cond, cond
