@@ -832,19 +832,49 @@ def _int8_pair_scores(
     chunk: int = _PAIR_CHUNK,
 ) -> np.ndarray:
     """Per-(query, row) dot products STRAIGHT OFF the int8 codes —
-    f64 Σ_j q_j·code_j per pair, chunked.  The caller adds the per-query
-    rebase q·off (see _int_off_ok for why the split stays bit-exact):
-    the row union decode — the probed/meta serve loops' single largest
-    memory-traffic term (int8 gather + f32 cast + offset add, ~4 B/B of
-    codes written) — drops out entirely; each chunk touches 192 B/row
-    of codes instead of 768 B/row of decoded floats."""
-    g = np.empty(len(rows), dtype=np.float64)
-    for clo in range(0, len(rows), chunk):
-        chi = min(clo + chunk, len(rows))
+    f64 Σ_j q_j·code_j per pair.  The caller adds the per-query rebase
+    q·off (see _int_off_ok for why the split stays bit-exact): the row
+    union decode — the probed/meta serve loops' single largest
+    memory-traffic term — drops out entirely; each pair touches 192 B
+    of codes instead of 768 B of decoded floats.
+
+    r12 (guide §4.2, VERDICT r11 #2): every caller builds pairs
+    query-grouped, so qidx arrives sorted with one run per query.  The
+    matrix-vector segment form `einsum("ij,j->i", C8[run], q)` then
+    beats the pair-gather form 3-4× measured
+    (scripts/exp_pair_kernel.py: 2.11 s → 0.49 s at 5M pairs / 600 per
+    query, 1M-row unit): the 768 B/pair Qm gather disappears and the
+    int8 rows stream through one cast buffer instead of two gathered
+    operands.  Bit-identical by the same argument as the q·off split —
+    every product and partial sum is an exact f32 integer, so any
+    regrouping of the same per-pair dot is exact.  Short runs (< _SEG_
+    MIN mean) fall back to the chunked pair-gather form: at ~60 pairs
+    per query the per-call overhead of 8k tiny einsums loses to the
+    gather (measured 0.24 s vs 0.17 s)."""
+    npairs = len(rows)
+    if npairs == 0:
+        return np.empty(0, dtype=np.float64)
+    g = np.empty(npairs, dtype=np.float64)
+    d = np.diff(qidx)
+    if np.all(d >= 0):  # one contiguous run per query
+        seg = np.concatenate(([0], np.flatnonzero(d) + 1, [npairs]))
+        if npairs >= _SEG_MIN_MEAN * (len(seg) - 1):
+            for i in range(len(seg) - 1):
+                s, e = seg[i], seg[i + 1]
+                g[s:e] = np.einsum("ij,j->i", C8[rows[s:e]], Qm32[qidx[s]])
+            return g
+    for clo in range(0, npairs, chunk):
+        chi = min(clo + chunk, npairs)
         g[clo:chi] = np.einsum(
             "ij,ij->i", Qm32[qidx[clo:chi]], C8[rows[clo:chi]]
         ).astype(np.float64)
     return g
+
+
+#: segment-form cutoff: mean pairs/query below which the per-segment
+#: einsum call overhead outweighs dropping the Qm gather (measured
+#: crossover ≈ 64-120 pairs/query, scripts/exp_pair_kernel.py)
+_SEG_MIN_MEAN = 96
 
 #: build the probed-tag lookup table only while it stays broadcast-small
 #: (int32 LUT over 0..max_tag — 262k-tag yfcc vocab ≈ 1 MB); a sparse /

@@ -721,3 +721,41 @@ def test_int8_direct_path_bit_identical(spark, built, monkeypatch):
     off = _load_routing(spark, out)[3]
     monkeypatch.undo()
     assert fk._int_off_ok(off), "fixture grid must take the fast path"
+
+
+def test_int8_pair_scores_segment_form_bit_identical():
+    """r12 kernel form (guide §4.2): sorted query-grouped qidx takes the
+    per-segment matrix-vector einsum; short runs and unsorted qidx take
+    the chunked pair-gather einsum.  Both forms regroup the same exact-
+    integer f32 dots, so outputs must be BIT-identical across the
+    branch: force each branch via the _SEG_MIN_MEAN cutoff and compare."""
+    from filter_vectordb_spark.index import filteridx_kernels as fk
+
+    rng = np.random.default_rng(5)
+    n, d, nq = 4096, 192, 37
+    C8 = rng.integers(-128, 128, size=(n, d), dtype=np.int8)
+    Qm = rng.integers(0, 256, size=(nq, d)).astype(np.float32)
+
+    def chunked_ref(qidx, rows):
+        return np.einsum("ij,ij->i", Qm[qidx], C8[rows]).astype(np.float64)
+
+    # long sorted runs (segment branch), incl. an empty-run-free mix of
+    # run lengths above and below the cutoff
+    lens = rng.integers(1, 4 * fk._SEG_MIN_MEAN, size=nq)
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), lens)
+    rows = rng.integers(0, n, size=len(qidx))
+    got = fk._int8_pair_scores(Qm, qidx, C8, rows, chunk=1000)
+    assert np.array_equal(got, chunked_ref(qidx, rows))
+    # unsorted qidx must fall back (and still be exact)
+    perm = rng.permutation(len(qidx))
+    got = fk._int8_pair_scores(Qm, qidx[perm], C8, rows[perm], chunk=1000)
+    assert np.array_equal(got, chunked_ref(qidx[perm], rows[perm]))
+    # short runs: below the mean cutoff the gather branch runs
+    lens = rng.integers(1, max(2, fk._SEG_MIN_MEAN // 8), size=nq)
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), lens)
+    rows = rng.integers(0, n, size=len(qidx))
+    got = fk._int8_pair_scores(Qm, qidx, C8, rows, chunk=1000)
+    assert np.array_equal(got, chunked_ref(qidx, rows))
+    # empty input
+    e = np.empty(0, dtype=np.int64)
+    assert len(fk._int8_pair_scores(Qm, e, C8, e)) == 0
