@@ -266,12 +266,25 @@ def _substring_windows(docs: DataFrame, key_col) -> DataFrame:
       The old plan evaluated an interpreted `transform(..., lambda)`
       Generate TWICE (once feeding the count aggregate, once the join
       probe side) — one full extra pass over corpus chars.
-    - The per-window corpus count is `count(*) OVER (PARTITION BY win)`
+    - The per-window corpus count is `sum(m) OVER (PARTITION BY win)`
       instead of groupBy(win) + join back: ONE exchange of the window
       rows replaces the old aggregate exchange + join-probe exchange,
       i.e. the corpus-sized data crosses the network once, not twice
       (the WindowExec sort is work a sort-merge join would also pay at
       the scale where the count side stops broadcasting).
+    - Skew guard (r12, guide §2.5 / VERDICT r11 #3): between the wide
+      exchange and the window, a (win, doc_id) aggregate collapses
+      within-doc repeats of a window to ONE row carrying its
+      multiplicity m.  The exchange is already keyed on win, so the
+      aggregate and the window both reuse its partitioning (plan stays
+      1 Generate / 2 Exchange); what changes is what WindowExec must
+      BUFFER for a hot key: distinct docs containing the window, not
+      every occurrence — a whitespace-run/boilerplate document (the
+      realistic 100 TB heavy hitter: ONE doc repeating one window
+      millions of times) now contributes one row to the sort+buffer
+      instead of millions, streamed through a bounded hash table.  Per-
+      doc totals weight by m, so results are value-identical (pinned by
+      the shared DuckDB oracle and test_plans.py).
 
     Guard docs shorter than L chars: sequence(1, non-positive) counts
     DOWN in Spark, which would fabricate windows the oracle (whose
@@ -291,10 +304,11 @@ def _substring_windows(docs: DataFrame, key_col) -> DataFrame:
         ).alias("i"),
     ).select("doc_id", key_col)
     key = w.columns[1]
-    wn = w.withColumn("n", F.count("*").over(Window.partitionBy(key)))
+    dw = w.repartition(key).groupBy(key, "doc_id").agg(F.count("*").alias("m"))
+    wn = dw.withColumn("n", F.sum("m").over(Window.partitionBy(key)))
     d = wn.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_windows"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        F.sum("m").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n") > 1, F.col("m")).otherwise(0))
         .cast("long")
         .alias("n_dup_windows"),
     )
@@ -304,8 +318,6 @@ def _substring_windows(docs: DataFrame, key_col) -> DataFrame:
         "n_dup_windows",
         (F.col("n_dup_windows") * 5 > F.col("n_windows")).alias("substring_dup"),
     )
-
-
 
 
 @register(
