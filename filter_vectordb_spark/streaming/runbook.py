@@ -190,7 +190,9 @@ class StreamingReplayer:
 
     CHECKPOINT_EVERY = 4
 
-    def __init__(self, spark: SparkSession, max_pts: int):
+    def __init__(
+        self, spark: SparkSession, max_pts: int, source: DataFrame | None = None
+    ):
         self.spark = spark
         self.max_pts = max_pts
         self.state: DataFrame | None = None
@@ -202,6 +204,24 @@ class StreamingReplayer:
         # next read/delete — drift runbooks insert cluster after cluster
         # between searches, and per-step state rewrites are pure overhead
         self._pending: list[tuple[DataFrame, int, int]] = []
+        # SOURCE-BOUND mode (r12, guide §5 driver section): when every
+        # insert is a canonical id-range slice of ONE immutable frame —
+        # the `replay()` contract, `streaming/run.py:39-41`'s
+        # `ids = arange(start, end)` — the interval ledger IS the state:
+        # upsert replaces a row with the identical source row, delete
+        # subtracts a range, so the active snapshot is exactly
+        # source ⋉ live-intervals.  active() then compiles the ledger to
+        # an id-range filter (row-group-prunable on the range-partitioned
+        # bases) instead of maintaining a mutable DataFrame: the per-step
+        # anti-join + unionByName and every eager localCheckpoint (a full
+        # 1M-row materialization each, ~7 per 30-step runbook — the
+        # measured majority of the 1M replay walls) disappear; the
+        # consolidation-counter arithmetic is untouched and stays
+        # identical to simulate_replay_counters.  Arbitrary-row inserts
+        # (no declared range / rows not a slice of `source`) are only
+        # legal in the unbound mode.
+        self._source = source
+        self._source_inserted = False
 
     def _truncate_lineage(self, force: bool = False) -> None:
         self._mutations += 1
@@ -230,10 +250,20 @@ class StreamingReplayer:
         self._truncate_lineage()
 
     # -- ST2 ---------------------------------------------------------------
-    def insert(self, rows: DataFrame, start: int | None = None, end: int | None = None) -> None:
+    def insert(self, rows: DataFrame | None, start: int | None = None, end: int | None = None) -> None:
         """Upsert (id, emb) rows; colliding ids are replaced.  start/end
         declare the id range (the runbook contract); when omitted the
-        range is probed from the rows (two tiny agg jobs)."""
+        range is probed from the rows (two tiny agg jobs).  Source-bound
+        replayers take the ledger-only path: rows may be None (they are
+        source[start:end) by contract) and no state frame is built."""
+        if self._source is not None:
+            if start is None or end is None:
+                raise ValueError("source-bound insert needs an explicit id range")
+            self._live, _ = _sub_interval(self._live, start, end)
+            self._live.append((start, end))
+            self._source_inserted = True
+            self._maybe_consolidate()
+            return
         if start is None or end is None:
             lohi = rows.agg(F.min("id"), F.max("id")).collect()[0]
             start, end = int(lohi[0]), int(lohi[1]) + 1
@@ -249,6 +279,12 @@ class StreamingReplayer:
     # -- ST3 ---------------------------------------------------------------
     def delete_range(self, start: int, end: int) -> None:
         """Tombstone ids in [start, end) (`streaming/run.py:42-44`)."""
+        if self._source is not None:
+            # ledger-only: active() derives the snapshot from _live, so
+            # the tombstone flag never needs materializing
+            self._live, n_new = _sub_interval(self._live, start, end)
+            self.unprocessed_deletes += n_new
+            return
         self._flush()
         if self.state is None:
             return
@@ -281,6 +317,10 @@ class StreamingReplayer:
 
     def consolidate(self) -> None:
         """Explicit compaction (Delta OPTIMIZE analog)."""
+        if self._source is not None:
+            self.unprocessed_deletes = 0
+            self.consolidations += 1
+            return
         self._flush()
         if self.state is not None:
             self.state = self.state.filter(~F.col("deleted")).localCheckpoint(
@@ -292,6 +332,19 @@ class StreamingReplayer:
 
     # -- ST5/ST6 -----------------------------------------------------------
     def active(self) -> DataFrame:
+        if self._source is not None:
+            if not self._source_inserted:
+                raise RuntimeError("setup/insert before search")
+            src = self._source.select("id", "emb")
+            if not self._live:
+                return src.filter(F.lit(False))  # everything deleted
+            conds = [
+                F.col("id").between(s, e - 1) for s, e in sorted(self._live)
+            ]
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            return src.filter(cond)
         self._flush()
         if self.state is None:
             raise RuntimeError("setup/insert before search")
@@ -346,13 +399,20 @@ def replay(
     unprocessed deletes) after the run — the consolidation-pressure
     tests do."""
     if rp is None:
-        rp = StreamingReplayer(spark, runbook.max_pts)
+        # replay's inserts are by construction canonical source slices,
+        # so the ledger-backed source-bound mode applies (see
+        # StreamingReplayer.__init__) — state frames, anti-joins and
+        # localCheckpoint materializations all drop out; a caller-built
+        # rp keeps its own (usually unbound) mode
+        rp = StreamingReplayer(spark, runbook.max_pts, source=source)
     results: list[DataFrame] = []
     checkpoint = 0
     for step in runbook.steps:
         if step.operation == "insert":
-            rows = source.filter(
-                F.col("id").between(step.start, step.end - 1)
+            rows = (
+                None
+                if rp._source is not None
+                else source.filter(F.col("id").between(step.start, step.end - 1))
             )
             rp.insert(rows, step.start, step.end)
         elif step.operation == "delete":

@@ -401,3 +401,47 @@ def test_delete_runbook_consolidation_pressure(spark, tmp_path):
     merged = want.merge(got, on=["qid", "rank"], suffixes=("_w", "_g"))
     assert len(merged) == len(want) == len(got)
     assert (merged["id_w"] == merged["id_g"]).all()
+
+
+def test_source_bound_replay_matches_unbound(spark, tmp_path):
+    """r12 (guide §5): replay()'s default source-bound mode — the
+    interval ledger compiled to an id-range filter over the source —
+    must be FRAME-identical to the unbound mutable-state replayer on a
+    runbook that exercises upsert collisions, range deletes and repeated
+    ST4 consolidation pressure, with identical counters, and must never
+    materialize a state frame (the whole point: zero localCheckpoint /
+    anti-join jobs)."""
+    from filter_vectordb_spark.sources.synth import synth_queries, synth_uint8_base
+    from filter_vectordb_spark.streaming.clustered import generate_delete_runbook
+    from filter_vectordb_spark.streaming.runbook import (
+        StreamingReplayer,
+        parse_runbook_yaml,
+        replay,
+    )
+
+    n, k = 2000, 5
+    base = synth_uint8_base(spark, n=n, d=32).select("id", "emb").localCheckpoint()
+    q = synth_queries(spark, nq=8, d=32).select("qid", "qemb")
+    offsets = list(range(0, n + 1, n // 8))
+    ypath = str(tmp_path / "delete_runbook.yaml")
+    generate_delete_runbook(offsets, ypath, dataset="t")
+    rb = parse_runbook_yaml(ypath, "t")
+
+    unbound = StreamingReplayer(spark, rb.max_pts)
+    want = (
+        replay(spark, base, rb, q, k=k, rp=unbound)
+        .toPandas()
+        .sort_values(["checkpoint", "qid", "rank"])
+        .reset_index(drop=True)
+    )
+    bound = StreamingReplayer(spark, rb.max_pts, source=base)
+    got_df = replay(spark, base, rb, q, k=k, rp=bound)
+    got = (
+        got_df.toPandas()
+        .sort_values(["checkpoint", "qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert bound.state is None  # ledger-only: no state frame ever built
+    assert bound.consolidations == unbound.consolidations
+    assert bound.unprocessed_deletes == unbound.unprocessed_deletes
+    assert want.equals(got), (want.head(), got.head())
