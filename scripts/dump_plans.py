@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     out_dir = sys.argv[1]
     suffix = sys.argv[2]
     names = sys.argv[3:]
@@ -28,6 +31,7 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     from filter_vectordb_spark import get_spark, registry
+    from filter_vectordb_spark.plans.audit import physical_plan
 
     spark = get_spark("dump_plans")
     if not names:
@@ -39,10 +43,7 @@ def main() -> None:
             continue
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         try:
-            df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = physical_plan(fn(spark, sf_dir))
         except Exception:
             plan = "EXPLAIN FAILED:\n" + traceback.format_exc()
         with open(path, "w") as f:
