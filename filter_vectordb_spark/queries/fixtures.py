@@ -237,13 +237,23 @@ def _synth_sparse1m_terms_dir(spark: SparkSession) -> str:
     per-task argsort — profiled: the in-kernel 3.7M-row sort cost more
     than the whole scoring under 32-way memory contention.  This is
     build-time work by design: the reference's linscan builds its
-    inverted index once too (BASELINE QPS excludes build)."""
+    inverted index once too (BASELINE QPS excludes build).
+
+    128 segments (v3; was 32) — the serving-layout rule (_BASE_FILES):
+    the per-task dense score block is nq × (1M/nsegments) f64, and at
+    32 segments each of 32 concurrent tasks allocated-faulted-freed a
+    256 MB bincount block per file (8 GB of first-touch per run — the
+    measured 8× run-1 arena tax, VERDICT r11 #7) and the task grain
+    pinned low-core benches to 1 wave.  At 128 the block is 64 MB, the
+    grain serves any core count, and the global top-k is segmentation-
+    independent (per-file local top-k + exact merge, parity-tested), so
+    values are identical."""
     from filter_vectordb_spark.sources.synth import synth_sparse_terms
 
-    out = _index_cache_dir("sparse1m_v1", "terms_v2")
+    out = _index_cache_dir("sparse1m_v1", "terms_v3")
     if not _is_built(out):
         synth_sparse_terms(spark, n=SPARSE1M_N, nnz=SPARSE1M_NNZ).repartitionByRange(
-            32, "id"
+            128, "id"
         ).sortWithinPartitions("term").write.mode("overwrite").parquet(out)
     return out
 
