@@ -241,7 +241,11 @@ def test_jaccard_pairs_two_subtrees_no_size_joins(spark):
     from filter_vectordb_spark.registry import QUERIES
 
     plan = physical_plan(QUERIES["dedup_jaccard_pairs"](spark, SF_DIR))
-    assert plan.count("Scan parquet") == 2 * 2, plan  # tree + detail lines
+    # two tree lines + at most two detail blocks; the formatter sometimes
+    # prints the two identical scan subtrees as one reused node (3
+    # occurrences), so pin the REGRESSION bound: the r11 four-subtree
+    # shape printed 8
+    assert 2 <= plan.count("Scan parquet") <= 4, plan
     assert plan.count("Join type:") == 1, plan  # exactly one join
     # the scan-level filter must not have the shingle transform inlined
     # (the isnotnull(size(array_distinct(...))) pushdown regression)
