@@ -30,70 +30,76 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's new and changed surfaces lead; robustly-green pytest-covered
 #: rows yield their slot.  Every query stays present either way.
 _PRIORITY = [
-    # r11 rotation (VERDICT r10 next #3, the standing two-round
-    # cadence): the full r9 wave returns — every row hash-green in
-    # CORRECTNESS_r09 that yielded its slot to the r10 wave
-    "knn_l2",
-    "knn_ip",
-    "knn_cosine",
-    "knn_l2_batch",
-    "knn_result_matrix",
-    "recall_at_k",
-    "vector_norms",
-    "results_sink_roundtrip",
-    "filtered_knn_router",
-    "filtered_knn_100k_nq32",
-    "tag_doc_freq",
-    "tag_signatures",
-    "posting_intersection",
-    "posting_union",
-    "hybrid_rrf_search",
-    "sq_knn",
-    "ivfsq_knn",
-    "lsh_cosine_knn",
-    "tag_partition_knn",
-    "tag_pair_partition_knn",
-    "sparse_mips_8m84",
-    "sparse_mips_8m84_skewed",
-    "sparse_mips_8m84_budget",
-    "sparse_csr_roundtrip",
-    "binfmt_fetch_roundtrip",
-    "tpch_q1_pricing",
-    "tpch_q3_shipping",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast",
-    "q4_order_priority",
-    "orders_priority_rollup",
-    "customer_running_total",
-    "events_sessionize",
-    "doc_fingerprint",
-    "token_stats",
-    "token_stats_bpe",
-    "text_quality",
-    "lang_id_ngram",
-    "eval_contamination",
+    # r12 rotation (standing two-round cadence): this round's CHANGED
+    # oracled surfaces lead, then the full r10 wave returns (every row
+    # hash-green in CORRECTNESS_r10 that yielded its slot to the r11
+    # wave; all 108 registered queries re-verified green against the
+    # sf0.01 oracles in this round's session before rotating).
+    # Changed surface #1 — jaccard_pairs two-subtree rewrite (VERDICT
+    # r11 next #1): hash-level re-check of the new shape
+    "dedup_jaccard_pairs",
+    # Changed surface #2 — substring-window skew guard ((win, doc_id)
+    # multiplicity collapse): both twins share the DuckDB oracle
     "dedup_substring_windows",
     "dedup_substring_windows_hashed",
-    "streaming_dedup",
-    # r11 changed surface — the ST4 consolidation trigger now fires
-    # with zero pending tombstones when active alone reaches max_pts
-    # (reference-exact counter): physically a no-op, but every replay
-    # row re-checks, the three oracled ones hash-level
+    # Changed surface #3 — source-bound replay (ledger-derived
+    # snapshots): the three oracled replay rows hash-check the new mode
     "streaming_replay",
     "streaming_clustered_replay",
     "streaming_delete_replay",
-    "streaming_replay_1m_ref_delete",
-    "streaming_replay_1m_ref_clustered",
-    # r11 changed surface — probed-route compute trim (filteridx
-    # kernels): the two nq32 twins re-hash-check both meta plans
-    # against the same DuckDB oracle; the 100k row re-checks rows-level
+    # Changed surface #4 — int8 segment-form pair kernel + the fixed
+    # serving layout: the nq32 twins hash-check both meta plans; the
+    # 100k row re-checks rows-level; the 1M nq8 twins value-check the
+    # regenerated 1M base end to end
     "filtered_knn_yfcc_nq32",
     "filtered_knn_yfcc_gather_nq32",
     "filtered_knn_yfcc_100k",
+    "knn_ip_1m_nq8",
+    "knn_ip_1m_nq8_ood",
+    # the r10 wave returns (two-round cadence)
+    "binfmt_roundtrip",
+    "corpus_mix_allocation",
+    "corpus_split",
+    "corpus_stratified_sample",
+    "corpus_token_quantiles",
+    "dedup_exact",
+    "dedup_filtered_corpus",
+    "dedup_minhash",
+    "dedup_minhash_clusters",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "events_asof_join",
+    "events_hourly",
+    "events_hourly_stream",
+    "filtered_knn_meta",
+    "filtered_knn_scan",
+    "filtered_knn_sig",
+    "filtered_knn_yfcc_10m",
+    "filtered_knn_yfcc_10m_ivf",
+    "filtered_yfcc_recall_curve_10m",
+    "ivf_full_probe",
+    "ivf_incremental_search",
+    "ivfpq_knn",
+    "knn_l2_expr",
+    "media_decode_stats",
+    "media_features",
+    "media_frame_sample",
+    "pii_scrub",
+    "pq_adc_knn",
+    "range_search_uint8",
+    "signup_click_conversion",
+    "sparse_mips",
+    "sparse_mips_alpha",
+    "sparse_mips_budget",
+    "tag_pair_doc_freq",
+    "text_repetition",
+    "top_parts_per_brand",
+    "uint8_knn",
     # every other query stays registered + pytest-checked.  Yielding
-    # their slot this round: the r10 wave (all hash-green in
-    # CORRECTNESS_r10).  Rows-only benched-every-round scale points
-    # keep their BENCH coverage; returning in r12: the r10 wave on the
+    # their slot this round: the r9/r11 wave (all hash-green in
+    # CORRECTNESS_r11).  Rows-only benched-every-round scale points
+    # keep their BENCH coverage; returning in r13: the r11 wave on the
     # standing two-round cadence.
 ]
 assert len(_PRIORITY) == 50, len(_PRIORITY)  # the driver checks exactly 50
